@@ -1,0 +1,83 @@
+"""Bit-packing primitives (vectorized numpy; no per-element Python).
+
+The n-bit packed integer representation is the engine's analogue of
+Supersonic's packed bit arrays (reference:
+supersonic/base/infrastructure/bit_pointers.h:17-37), generalized from
+1-bit bools to n-bit unsigned integers for frame-of-reference encoding.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_U64 = struct.Struct("<Q")
+_I64 = struct.Struct("<q")
+
+
+def bit_width(max_val: int) -> int:
+    """Number of bits needed to represent max_val (0 -> 0 bits)."""
+    return int(max_val).bit_length()
+
+
+def pack_uints(vals: np.ndarray, width: int) -> bytes:
+    """Pack unsigned ints into `width` bits each (big-endian within value).
+
+    vals must be uint64 and < 2**width. width == 0 encodes to b"".
+    """
+    if width == 0 or len(vals) == 0:
+        return b""
+    vals = np.ascontiguousarray(vals, dtype=np.uint64)
+    shifts = np.arange(width - 1, -1, -1, dtype=np.uint64)
+    bits = ((vals[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bits.reshape(-1)).tobytes()
+
+
+def unpack_uints(buf: bytes, n: int, width: int) -> np.ndarray:
+    """Inverse of pack_uints; returns uint64 array of length n."""
+    if width == 0 or n == 0:
+        return np.zeros(n, dtype=np.uint64)
+    total_bits = n * width
+    raw = np.frombuffer(buf, dtype=np.uint8, count=(total_bits + 7) // 8)
+    bits = np.unpackbits(raw, count=total_bits).reshape(n, width).astype(np.uint64)
+    weights = (np.uint64(1) << np.arange(width - 1, -1, -1, dtype=np.uint64))
+    return bits @ weights
+
+
+def zigzag_encode(vals: np.ndarray) -> np.ndarray:
+    """Map signed int64 -> uint64 so small-magnitude values stay small."""
+    v = np.ascontiguousarray(vals, dtype=np.int64)
+    return ((v << 1) ^ (v >> 63)).view(np.uint64)
+
+
+def zigzag_decode(vals: np.ndarray) -> np.ndarray:
+    u = np.ascontiguousarray(vals, dtype=np.uint64)
+    return ((u >> np.uint64(1)).view(np.int64)) ^ -((u & np.uint64(1)).view(np.int64))
+
+
+def pack_ints_block(vals: np.ndarray) -> bytes:
+    """Self-describing FOR + bit-pack block for an int64 array.
+
+    Layout: [i64 ref][u64 n][u8 width][packed bits]. Used internally by
+    dict/rle/fsst payloads for index and length arrays.
+    """
+    v = np.ascontiguousarray(vals, dtype=np.int64)
+    n = len(v)
+    if n == 0:
+        return _I64.pack(0) + _U64.pack(0) + b"\x00"
+    ref = int(v.min())
+    deltas = (v.astype(np.int64) - ref).view(np.uint64)
+    width = bit_width(int(deltas.max()))
+    return _I64.pack(ref) + _U64.pack(n) + bytes([width]) + pack_uints(deltas, width)
+
+
+def unpack_ints_block(buf: bytes, offset: int = 0) -> tuple[np.ndarray, int]:
+    """Inverse of pack_ints_block. Returns (int64 array, bytes consumed)."""
+    ref = _I64.unpack_from(buf, offset)[0]
+    n = _U64.unpack_from(buf, offset + 8)[0]
+    width = buf[offset + 16]
+    nbytes = (n * width + 7) // 8
+    payload = buf[offset + 17 : offset + 17 + nbytes]
+    vals = unpack_uints(payload, n, width).view(np.int64) + ref
+    return vals.astype(np.int64), 17 + nbytes

@@ -1,0 +1,143 @@
+"""Self-describing encoded column / block framing.
+
+A column chunk frames as:
+    [b"SC"][u8 version=1][u8 typecode][u8 codec_id][u8 flags]
+    [u64 row_count]
+    [validity bitmap, ceil(n/8) bytes, iff flags&1]     (1 = valid, Arrow-style)
+    [u64 payload_len][payload]
+
+Nulls are compacted out before the codec runs (the codec sees only dense
+values) and scattered back on decode — the analogue of Supersonic's separate
+per-column is_null vectors (reference: supersonic/base/infrastructure/
+block.h:117-127) combined with selection-vector late materialization
+(reference: supersonic/cursor/core/filter.cc:170-199).
+
+A block (all columns of a chunk of rows) frames as:
+    [b"SSBK"][u16 n_cols][u64 row_count]
+    per column: [u16 name_len][name utf8][u64 col_len][column frame]
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+from . import kernels
+from .kernels import CODEC_NAMES, decode_values, encode_values, typecode_of
+
+_U64 = struct.Struct("<Q")
+_U16 = struct.Struct("<H")
+
+_MAGIC_COL = b"SC"
+_MAGIC_BLOCK = b"SSBK"
+_VERSION = 1
+_FLAG_HAS_NULLS = 1
+
+
+def encode_column(arr: pa.Array | pa.ChunkedArray, codec: str) -> bytes:
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    typecode = typecode_of(arr.type)
+    n = len(arr)
+    has_nulls = arr.null_count > 0
+    flags = _FLAG_HAS_NULLS if has_nulls else 0
+
+    if has_nulls:
+        valid = np.asarray(arr.is_valid())
+        validity = np.packbits(valid).tobytes()
+        dense = arr.drop_null()
+    else:
+        validity = b""
+        dense = arr
+    if codec == "constant" and len(dense) == 0:
+        codec = "plain"
+    payload = encode_values(dense, codec, typecode)
+    head = (_MAGIC_COL + bytes([_VERSION, typecode, kernels.CODEC_IDS[codec], flags])
+            + _U64.pack(n))
+    return head + validity + _U64.pack(len(payload)) + payload
+
+
+def decode_column(buf: bytes, offset: int = 0) -> tuple[pa.Array, int]:
+    """Returns (array, bytes consumed)."""
+    if buf[offset:offset + 2] != _MAGIC_COL:
+        raise ValueError("bad column magic")
+    version, typecode, codec_id, flags = buf[offset + 2:offset + 6]
+    if version != _VERSION:
+        raise ValueError(f"unsupported column frame version {version}")
+    n = _U64.unpack_from(buf, offset + 6)[0]
+    off = offset + 14
+    valid = None
+    if flags & _FLAG_HAS_NULLS:
+        nbytes = (n + 7) // 8
+        valid = np.unpackbits(
+            np.frombuffer(buf, dtype=np.uint8, count=nbytes, offset=off),
+            count=n).astype(bool)
+        off += nbytes
+    payload_len = _U64.unpack_from(buf, off)[0]
+    off += 8
+    n_dense = n if valid is None else int(valid.sum())
+    dense = decode_values(buf[off:off + payload_len], n_dense, codec_id, typecode)
+    off += payload_len
+
+    if valid is None:
+        return dense, off - offset
+    # scatter dense values back to full length; null take-index -> null value
+    idx = np.zeros(n, dtype=np.int64)
+    idx[valid] = np.arange(n_dense, dtype=np.int64)
+    take_idx = pa.array(idx, type=pa.int64(), mask=~valid)
+    scattered = dense.take(take_idx) if n_dense > 0 else pa.nulls(n, dense.type)
+    return scattered, off - offset
+
+
+def encode_block(batch: pa.RecordBatch | pa.Table, codecs: dict[str, str]) -> bytes:
+    """Encode all columns of a row chunk; codecs maps column name -> codec."""
+    names = batch.schema.names
+    out = bytearray(_MAGIC_BLOCK)
+    out += _U16.pack(len(names))
+    out += _U64.pack(batch.num_rows)
+    for name in names:
+        col = batch.column(names.index(name)) if isinstance(batch, pa.RecordBatch) else batch.column(name)
+        frame = encode_column(col, codecs[name])
+        nb = name.encode("utf-8")
+        out += _U16.pack(len(nb)) + nb + _U64.pack(len(frame)) + frame
+    return bytes(out)
+
+
+def decode_block(buf: bytes, offset: int = 0) -> tuple[pa.Table, int]:
+    if buf[offset:offset + 4] != _MAGIC_BLOCK:
+        raise ValueError("bad block magic")
+    n_cols = _U16.unpack_from(buf, offset + 4)[0]
+    off = offset + 6 + 8  # skip row_count (redundant with column frames)
+    names, arrays = [], []
+    for _ in range(n_cols):
+        nlen = _U16.unpack_from(buf, off)[0]
+        off += 2
+        name = buf[off:off + nlen].decode("utf-8")
+        off += nlen
+        clen = _U64.unpack_from(buf, off)[0]
+        off += 8
+        arr, used = decode_column(buf, off)
+        assert used == clen, f"column frame length mismatch for {name}"
+        off += clen
+        names.append(name)
+        arrays.append(arr)
+    return pa.table(dict(zip(names, arrays))), off - offset
+
+
+def block_codec_report(buf: bytes, offset: int = 0) -> dict[str, str]:
+    """Which codec each column of a block used (for lineage/manifest)."""
+    n_cols = _U16.unpack_from(buf, offset + 4)[0]
+    off = offset + 14
+    report = {}
+    for _ in range(n_cols):
+        nlen = _U16.unpack_from(buf, off)[0]
+        off += 2
+        name = buf[off:off + nlen].decode("utf-8")
+        off += nlen
+        clen = _U64.unpack_from(buf, off)[0]
+        off += 8
+        report[name] = CODEC_NAMES[buf[off + 4]]
+        off += clen
+    return report

@@ -1,0 +1,354 @@
+"""Vectorized column codecs: plain, constant, dict, RLE, FOR+bitpack,
+delta+bitpack, FSST-style symbol-table text compression.
+
+All kernels are numpy/pyarrow-vectorized (no per-row Python) and operate on
+*dense* (null-free) pyarrow arrays; null handling lives in framing.py.
+
+Semantics lineage (what, not how — reference is C++, this is new code):
+- dictionary codec  <- Supersonic ENUM attributes: int32 code + symbol table
+  (reference: supersonic/base/infrastructure/tuple_schema.h:42-74).
+- RLE run detection <- the `Changed` stateful expression (true at run
+  boundaries; reference: supersonic/expression/core/stateful_expressions.h:30-39).
+- bit-packing       <- packed bit arrays generalized to n bits
+  (reference: supersonic/base/infrastructure/bit_pointers.h:17-37).
+- plain layout      <- the chunked columnar file format
+  (reference: supersonic/cursor/infrastructure/file_io.cc:16-29,122-172).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+from .bitutil import pack_ints_block, unpack_ints_block, zigzag_decode, zigzag_encode, bit_width, pack_uints, unpack_uints
+from .reference_layout import _concat_data, _varlen_lengths
+
+_U64 = struct.Struct("<Q")
+_I64 = struct.Struct("<q")
+
+# --- type codes -------------------------------------------------------------
+
+T_INT32, T_INT64, T_FLOAT32, T_FLOAT64, T_BOOL = 3, 4, 5, 6, 7
+T_STRING, T_BINARY, T_TIMESTAMP_US, T_DATE32 = 8, 9, 10, 11
+
+_NUMPY_OF = {
+    T_INT32: np.dtype("<i4"), T_INT64: np.dtype("<i8"),
+    T_FLOAT32: np.dtype("<f4"), T_FLOAT64: np.dtype("<f8"),
+    T_BOOL: np.dtype("?"), T_TIMESTAMP_US: np.dtype("<i8"),
+    T_DATE32: np.dtype("<i4"),
+}
+
+_PA_OF = {
+    T_INT32: pa.int32(), T_INT64: pa.int64(), T_FLOAT32: pa.float32(),
+    T_FLOAT64: pa.float64(), T_BOOL: pa.bool_(), T_STRING: pa.string(),
+    T_BINARY: pa.binary(), T_TIMESTAMP_US: pa.timestamp("us"),
+    T_DATE32: pa.date32(),
+}
+
+INT_TYPECODES = {T_INT32, T_INT64, T_TIMESTAMP_US, T_DATE32}
+VARLEN_TYPECODES = {T_STRING, T_BINARY}
+
+
+def typecode_of(typ: pa.DataType) -> int:
+    if pa.types.is_int32(typ):
+        return T_INT32
+    if pa.types.is_int64(typ):
+        return T_INT64
+    if pa.types.is_float32(typ):
+        return T_FLOAT32
+    if pa.types.is_float64(typ):
+        return T_FLOAT64
+    if pa.types.is_boolean(typ):
+        return T_BOOL
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        return T_STRING
+    if pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
+        return T_BINARY
+    if pa.types.is_timestamp(typ):
+        if typ.unit != "us":
+            raise ValueError(f"only timestamp[us] supported, got {typ}")
+        return T_TIMESTAMP_US
+    if pa.types.is_date32(typ):
+        return T_DATE32
+    raise ValueError(f"unsupported arrow type for codecs: {typ}")
+
+
+def _as_numpy(arr: pa.Array, typecode: int) -> np.ndarray:
+    """Dense fixed-width arrow array -> little-endian numpy view."""
+    if typecode == T_TIMESTAMP_US:
+        arr = arr.cast(pa.int64())
+    elif typecode == T_DATE32:
+        arr = arr.cast(pa.int32())
+    return np.ascontiguousarray(arr.to_numpy(zero_copy_only=False)).astype(
+        _NUMPY_OF[typecode], copy=False)
+
+
+def _from_numpy(vals: np.ndarray, typecode: int) -> pa.Array:
+    if typecode == T_TIMESTAMP_US:
+        return pa.array(vals.astype("<i8"), type=pa.int64()).cast(pa.timestamp("us"))
+    if typecode == T_DATE32:
+        return pa.array(vals.astype("<i4"), type=pa.int32()).cast(pa.date32())
+    return pa.array(vals.astype(_NUMPY_OF[typecode], copy=False), type=_PA_OF[typecode])
+
+
+def _string_array(lengths: np.ndarray, data: bytes, typecode: int) -> pa.Array:
+    offsets = np.zeros(len(lengths) + 1, dtype=np.int32)
+    np.cumsum(lengths, out=offsets[1:])
+    cls = pa.string() if typecode == T_STRING else pa.binary()
+    return pa.Array.from_buffers(cls, len(lengths),
+                                 [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data)])
+
+
+# --- plain ------------------------------------------------------------------
+
+def encode_plain(arr: pa.Array, typecode: int) -> bytes:
+    """Reference chunk layout: varlen -> u64 lengths + concatenated bytes;
+    fixed -> raw little-endian array (file_io.cc:122-172)."""
+    if typecode in VARLEN_TYPECODES:
+        lengths = _varlen_lengths(arr).astype("<u8")
+        return lengths.tobytes() + _concat_data(arr)
+    return _as_numpy(arr, typecode).tobytes()
+
+
+def decode_plain(buf: bytes, n: int, typecode: int) -> pa.Array:
+    if typecode in VARLEN_TYPECODES:
+        lengths = np.frombuffer(buf, dtype="<u8", count=n).astype(np.int64)
+        data = buf[8 * n: 8 * n + int(lengths.sum())]
+        return _string_array(lengths, data, typecode)
+    dt = _NUMPY_OF[typecode]
+    return _from_numpy(np.frombuffer(buf, dtype=dt, count=n).copy(), typecode)
+
+
+# --- constant ---------------------------------------------------------------
+
+def encode_constant(arr: pa.Array, typecode: int) -> bytes:
+    return encode_plain(arr.slice(0, 1), typecode)
+
+
+def decode_constant(buf: bytes, n: int, typecode: int) -> pa.Array:
+    one = decode_plain(buf, 1, typecode)
+    if n == 0:
+        return one.slice(0, 0)
+    return one.take(np.zeros(n, dtype=np.int64))
+
+
+# --- dictionary -------------------------------------------------------------
+
+def encode_dict(arr: pa.Array, typecode: int) -> bytes:
+    enc = arr.dictionary_encode()
+    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    dict_payload = encode_plain(enc.dictionary, typecode)
+    out = pack_ints_block(idx)
+    return (_U64.pack(len(enc.dictionary)) + _U64.pack(len(dict_payload))
+            + dict_payload + out)
+
+
+def decode_dict(buf: bytes, n: int, typecode: int) -> pa.Array:
+    n_dict = _U64.unpack_from(buf, 0)[0]
+    dlen = _U64.unpack_from(buf, 8)[0]
+    dictionary = decode_plain(buf[16:16 + dlen], n_dict, typecode)
+    idx, _ = unpack_ints_block(buf, 16 + dlen)
+    return dictionary.take(idx)
+
+
+# --- RLE (dict-backed run-length) --------------------------------------------
+
+def encode_rle(arr: pa.Array, typecode: int) -> bytes:
+    """Run-length encode: dictionary + run value indices + run lengths.
+    Run boundaries found vectorized (the `Changed` analogue: idx != shift(idx))."""
+    enc = arr.dictionary_encode()
+    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(idx)
+    if n == 0:
+        starts = np.zeros(0, dtype=np.int64)
+    else:
+        starts = np.flatnonzero(np.concatenate(([True], idx[1:] != idx[:-1])))
+    run_vals = idx[starts] if n else starts
+    run_lens = np.diff(np.concatenate((starts, [n]))) if n else starts
+    dict_payload = encode_plain(enc.dictionary, typecode)
+    vals_block = pack_ints_block(run_vals)
+    lens_block = pack_ints_block(run_lens)
+    return (_U64.pack(len(enc.dictionary)) + _U64.pack(len(dict_payload)) + dict_payload
+            + _U64.pack(len(vals_block)) + vals_block + lens_block)
+
+
+def decode_rle(buf: bytes, n: int, typecode: int) -> pa.Array:
+    n_dict = _U64.unpack_from(buf, 0)[0]
+    dlen = _U64.unpack_from(buf, 8)[0]
+    off = 16
+    dictionary = decode_plain(buf[off:off + dlen], n_dict, typecode)
+    off += dlen
+    vlen = _U64.unpack_from(buf, off)[0]
+    off += 8
+    run_vals, _ = unpack_ints_block(buf, off)
+    off += vlen
+    run_lens, _ = unpack_ints_block(buf, off)
+    idx = np.repeat(run_vals, run_lens)
+    return dictionary.take(idx)
+
+
+# --- frame-of-reference + bit-pack -------------------------------------------
+
+def encode_for_bitpack(arr: pa.Array, typecode: int) -> bytes:
+    if typecode not in INT_TYPECODES:
+        raise ValueError("for_bitpack requires an integer-like column")
+    return pack_ints_block(_as_numpy(arr, typecode).astype(np.int64))
+
+
+def decode_for_bitpack(buf: bytes, n: int, typecode: int) -> pa.Array:
+    vals, _ = unpack_ints_block(buf, 0)
+    return _from_numpy(vals, typecode)
+
+
+# --- delta + zigzag + bit-pack ------------------------------------------------
+
+def encode_delta_bitpack(arr: pa.Array, typecode: int) -> bytes:
+    if typecode not in INT_TYPECODES:
+        raise ValueError("delta_bitpack requires an integer-like column")
+    v = _as_numpy(arr, typecode).astype(np.int64)
+    if len(v) == 0:
+        return _I64.pack(0) + pack_ints_block(v)
+    deltas = np.diff(v)
+    zz = zigzag_encode(deltas).view(np.int64)
+    return _I64.pack(int(v[0])) + pack_ints_block(zz)
+
+
+def decode_delta_bitpack(buf: bytes, n: int, typecode: int) -> pa.Array:
+    first = _I64.unpack_from(buf, 0)[0]
+    zz, _ = unpack_ints_block(buf, 8)
+    if n == 0:
+        return _from_numpy(np.zeros(0, dtype=np.int64), typecode)
+    deltas = zigzag_decode(zz.view(np.uint64))
+    vals = np.empty(n, dtype=np.int64)
+    vals[0] = first
+    if n > 1:
+        np.cumsum(deltas, out=vals[1:])
+        vals[1:] += first
+    return _from_numpy(vals, typecode)
+
+
+# --- FSST-style symbol-table text compression ---------------------------------
+
+_FSST_SAMPLE = 1 << 17   # 128 KiB sample for symbol mining
+_FSST_MAX_LEN = 8
+_FSST_MIN_COUNT = 4
+
+
+def _mine_symbols(sample: np.ndarray, free_codes: list[int]) -> list[bytes]:
+    """Pick frequent 2..8-byte substrings of the sample, highest saving first.
+
+    Vectorized: for each length L, sliding windows packed into uint64 keys,
+    counted with np.unique. Deterministic (ties broken by symbol bytes).
+    """
+    budget = len(free_codes)
+    if budget == 0 or len(sample) < 16:
+        return []
+    candidates: list[tuple[int, int, bytes]] = []  # (score, -L, sym)
+    for L in range(2, _FSST_MAX_LEN + 1):
+        if len(sample) <= L:
+            break
+        win = np.lib.stride_tricks.sliding_window_view(sample, L).astype(np.uint64)
+        shifts = np.arange(8 * (L - 1), -1, -8, dtype=np.uint64)
+        keys = (win << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+        uniq, counts = np.unique(keys, return_counts=True)
+        top = np.argsort(counts)[::-1][:256]
+        for k, c in zip(uniq[top], counts[top]):
+            if c < _FSST_MIN_COUNT:
+                continue
+            sym = int(k).to_bytes(L, "big")
+            candidates.append((int(c) * (L - 1), L, sym))
+    candidates.sort(key=lambda t: (-t[0], -t[1], t[2]))
+    out, seen = [], set()
+    for _score, _L, sym in candidates:
+        if sym in seen:
+            continue
+        seen.add(sym)
+        out.append(sym)
+        if len(out) >= budget:
+            break
+    # replacement passes run longest-first so long symbols aren't shadowed
+    out.sort(key=lambda s: (-len(s), s))
+    return out
+
+
+def encode_fsst(arr: pa.Array, typecode: int) -> bytes:
+    """Symbol-table compression of the concatenated string payload.
+
+    Codes are byte values that do NOT occur in this chunk's payload, so
+    replacement passes are unambiguous and escape-free; decode restores the
+    exact concatenation, then slices by the stored original lengths.
+    """
+    if typecode not in VARLEN_TYPECODES:
+        raise ValueError("fsst requires string/binary")
+    lengths = _varlen_lengths(arr)
+    blob = _concat_data(arr)
+    lens_block = pack_ints_block(lengths)
+
+    symbols: list[bytes] = []
+    data = blob
+    if len(blob) >= 64:
+        u8 = np.frombuffer(blob, dtype=np.uint8)
+        hist = np.bincount(u8, minlength=256)
+        free_codes = [b for b in range(256) if hist[b] == 0]
+        sample = u8[:_FSST_SAMPLE]
+        symbols = _mine_symbols(sample, free_codes)
+        for i, sym in enumerate(symbols):
+            data = data.replace(sym, bytes([free_codes[i]]))
+        codes = free_codes[:len(symbols)]
+    else:
+        codes = []
+
+    table = bytearray([len(symbols)])
+    for code, sym in zip(codes, symbols):
+        table += bytes([code, len(sym)]) + sym
+    return (bytes(table) + _U64.pack(len(lens_block)) + lens_block
+            + _U64.pack(len(data)) + data)
+
+
+def decode_fsst(buf: bytes, n: int, typecode: int) -> pa.Array:
+    n_sym = buf[0]
+    off = 1
+    pairs = []
+    for _ in range(n_sym):
+        code = buf[off]
+        slen = buf[off + 1]
+        pairs.append((bytes([code]), buf[off + 2: off + 2 + slen]))
+        off += 2 + slen
+    llen = _U64.unpack_from(buf, off)[0]
+    off += 8
+    lengths, _ = unpack_ints_block(buf, off)
+    off += llen
+    dlen = _U64.unpack_from(buf, off)[0]
+    off += 8
+    data = buf[off:off + dlen]
+    for code, sym in pairs:
+        data = data.replace(code, sym)
+    return _string_array(lengths, data, typecode)
+
+
+# --- registry -----------------------------------------------------------------
+
+CODEC_IDS = {
+    "plain": 0, "constant": 1, "dict": 2, "rle": 3,
+    "for_bitpack": 4, "delta_bitpack": 5, "fsst": 6,
+}
+CODEC_NAMES = {v: k for k, v in CODEC_IDS.items()}
+
+_ENCODERS = {
+    0: encode_plain, 1: encode_constant, 2: encode_dict, 3: encode_rle,
+    4: encode_for_bitpack, 5: encode_delta_bitpack, 6: encode_fsst,
+}
+_DECODERS = {
+    0: decode_plain, 1: decode_constant, 2: decode_dict, 3: decode_rle,
+    4: decode_for_bitpack, 5: decode_delta_bitpack, 6: decode_fsst,
+}
+
+
+def encode_values(arr: pa.Array, codec: str, typecode: int) -> bytes:
+    return _ENCODERS[CODEC_IDS[codec]](arr, typecode)
+
+
+def decode_values(buf: bytes, n: int, codec_id: int, typecode: int) -> pa.Array:
+    return _DECODERS[codec_id](buf, n, typecode)

@@ -1,0 +1,138 @@
+"""Per-(partition, column) codec auto-selection.
+
+Samples value cardinality, mean run length and byte entropy per column chunk
+and picks a codec by decision rules; the choice is recorded in the lineage
+manifest. Precedent for cardinality-driven algorithm switching in the
+reference: `Distinctness.estimated_distinct_threshold`
+(reference: supersonic/proto/specification.proto:33-37).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .codecs.kernels import (
+    INT_TYPECODES,
+    VARLEN_TYPECODES,
+    typecode_of,
+)
+
+_SAMPLE_ROWS = 4096
+
+
+@dataclass
+class ColumnStats:
+    n: int
+    n_distinct: int          # sampled
+    mean_run_len: float      # sampled
+    byte_entropy: float      # bits/byte, varlen only (sampled)
+    sortedness: float        # fraction of non-decreasing steps (ints, sampled)
+    delta_bits: int          # bit width of max zigzag delta (ints, sampled)
+    range_bits: int          # bit width of (max-min) (ints, sampled)
+
+
+def _sample(arr: pa.Array) -> pa.Array:
+    if len(arr) <= _SAMPLE_ROWS:
+        return arr
+    step = len(arr) // _SAMPLE_ROWS
+    return arr.take(np.arange(0, len(arr), step, dtype=np.int64)[:_SAMPLE_ROWS])
+
+
+def column_stats(arr: pa.Array | pa.ChunkedArray) -> ColumnStats:
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    dense = arr.drop_null() if arr.null_count else arr
+    s = _sample(dense)
+    ns = len(s)
+    if ns == 0:
+        return ColumnStats(n, 0, 0.0, 0.0, 1.0, 0, 0)
+    n_distinct = pc.count_distinct(s).as_py()
+
+    typecode = typecode_of(arr.type)
+    sortedness, delta_bits, range_bits, entropy = 1.0, 0, 0, 0.0
+    if typecode in INT_TYPECODES:
+        v = s.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.int64)
+        if ns > 1:
+            d = np.diff(v)
+            sortedness = float((d >= 0).mean())
+            delta_bits = int(np.abs(d).max()).bit_length() + 1
+        range_bits = int(v.max() - v.min()).bit_length()
+        changes = int((np.diff(v) != 0).sum()) + 1 if ns > 1 else 1
+        mean_run = ns / changes
+    elif typecode in VARLEN_TYPECODES:
+        enc = s.dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        changes = int((np.diff(idx) != 0).sum()) + 1 if ns > 1 else 1
+        mean_run = ns / changes
+        # byte entropy over a bounded sample of the payload
+        buf = b"".join(x.as_py().encode("utf-8") if isinstance(x.as_py(), str)
+                       else (x.as_py() or b"") for x in s.slice(0, 256))
+        if buf:
+            counts = np.bincount(np.frombuffer(buf, dtype=np.uint8), minlength=256)
+            p = counts[counts > 0] / len(buf)
+            entropy = float(-(p * np.log2(p)).sum())
+    else:
+        mean_run = 1.0
+    return ColumnStats(n, n_distinct, float(mean_run), entropy,
+                       sortedness, delta_bits, range_bits)
+
+
+def choose_codec(arr: pa.Array | pa.ChunkedArray,
+                 stats: ColumnStats | None = None) -> tuple[str, ColumnStats]:
+    """Decision rules -> codec name. Deterministic given the chunk."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    typecode = typecode_of(arr.type)
+    st = stats or column_stats(arr)
+    dense = arr.drop_null() if arr.null_count else arr
+    dense_n = len(dense)
+
+    if dense_n == 0:
+        return "plain", st
+    if st.n_distinct == 1 and (dense_n <= _SAMPLE_ROWS
+                               or pc.count_distinct(dense).as_py() == 1):
+        return "constant", st
+
+    if typecode in INT_TYPECODES:
+        if st.mean_run_len >= 4.0:
+            return "rle", st
+        if st.sortedness >= 0.95 and st.delta_bits + 2 < st.range_bits:
+            return "delta_bitpack", st
+        if st.range_bits < 63:
+            return "for_bitpack", st
+        return "plain", st
+
+    if typecode in VARLEN_TYPECODES:
+        distinct_ratio = st.n_distinct / max(len(_sample(arr)), 1)
+        if st.mean_run_len >= 3.0 and distinct_ratio < 0.5:
+            return "rle", st
+        if distinct_ratio < 0.1 or st.n_distinct <= 256:
+            return "dict", st
+        if st.byte_entropy < 7.5:
+            return "fsst", st
+        return "plain", st
+
+    # float/bool: no lightweight win implemented -> plain (rle if very runny)
+    if st.mean_run_len >= 8.0:
+        return "rle", st
+    return "plain", st
+
+
+def choose_codecs(batch: pa.RecordBatch | pa.Table,
+                  overrides: dict[str, str] | None = None) -> dict[str, str]:
+    """Codec per column for a row chunk; overrides pin specific columns."""
+    overrides = overrides or {}
+    out = {}
+    for i, name in enumerate(batch.schema.names):
+        col = batch.column(i)
+        if name in overrides:
+            out[name] = overrides[name]
+        else:
+            out[name], _ = choose_codec(col)
+    return out
