@@ -231,9 +231,10 @@ def decode_delta_bitpack(buf: bytes, n: int, typecode: int) -> pa.Array:
 
 # --- FSST-style symbol-table text compression ---------------------------------
 
-_FSST_SAMPLE = 1 << 17   # 128 KiB sample for symbol mining
+_FSST_SAMPLE = 1 << 16    # 64 KiB sample for symbol mining
 _FSST_MAX_LEN = 8
 _FSST_MIN_COUNT = 4
+_FSST_MAX_SYMBOLS = 64    # replace-pass budget: ratio/throughput sweet spot
 
 
 def _mine_symbols(sample: np.ndarray, free_codes: list[int]) -> list[bytes]:
@@ -291,7 +292,7 @@ def encode_fsst(arr: pa.Array, typecode: int) -> bytes:
     if len(blob) >= 64:
         u8 = np.frombuffer(blob, dtype=np.uint8)
         hist = np.bincount(u8, minlength=256)
-        free_codes = [b for b in range(256) if hist[b] == 0]
+        free_codes = [b for b in range(256) if hist[b] == 0][:_FSST_MAX_SYMBOLS]
         sample = u8[:_FSST_SAMPLE]
         symbols = _mine_symbols(sample, free_codes)
         for i, sym in enumerate(symbols):
@@ -328,21 +329,65 @@ def decode_fsst(buf: bytes, n: int, typecode: int) -> pa.Array:
     return _string_array(lengths, data, typecode)
 
 
+# --- token-dictionary text codec ----------------------------------------------
+
+def encode_tokdict(arr: pa.Array, typecode: int) -> bytes:
+    """Word-level symbol-table compression: split on single spaces (exact —
+    ``" ".join(s.split(" ")) == s`` for any s), dictionary-encode tokens,
+    bit-pack indices. All Arrow C kernels; the high-throughput scale path
+    for natural-language transcript text. Same symbol-table idea as FSST
+    but with word-granularity symbols."""
+    if typecode != T_STRING:
+        raise ValueError("tokdict requires string")
+    import pyarrow.compute as pc
+    toks = pc.split_pattern(arr, " ")
+    flat = pc.list_flatten(toks)
+    ntok = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    denc = flat.dictionary_encode()
+    idx = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab_block = encode_plain(denc.dictionary, T_STRING)
+    idx_block = pack_ints_block(idx)
+    ntok_block = pack_ints_block(ntok)
+    return (_U64.pack(len(denc.dictionary)) + _U64.pack(len(vocab_block)) + vocab_block
+            + _U64.pack(len(idx_block)) + idx_block + ntok_block)
+
+
+def decode_tokdict(buf: bytes, n: int, typecode: int) -> pa.Array:
+    import pyarrow.compute as pc
+    n_vocab = _U64.unpack_from(buf, 0)[0]
+    vlen = _U64.unpack_from(buf, 8)[0]
+    vocab = decode_plain(buf[16:16 + vlen], n_vocab, T_STRING)
+    off = 16 + vlen
+    ilen = _U64.unpack_from(buf, off)[0]
+    off += 8
+    idx, _ = unpack_ints_block(buf, off)
+    off += ilen
+    ntok, _ = unpack_ints_block(buf, off)
+    flat = vocab.take(idx)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(ntok, out=offsets[1:])
+    lst = pa.ListArray.from_arrays(
+        pa.array(offsets.astype(np.int32), type=pa.int32()), flat)
+    return pc.binary_join(lst, " ")
+
+
 # --- registry -----------------------------------------------------------------
 
 CODEC_IDS = {
     "plain": 0, "constant": 1, "dict": 2, "rle": 3,
-    "for_bitpack": 4, "delta_bitpack": 5, "fsst": 6,
+    "for_bitpack": 4, "delta_bitpack": 5, "fsst": 6, "tokdict": 7,
 }
 CODEC_NAMES = {v: k for k, v in CODEC_IDS.items()}
 
 _ENCODERS = {
     0: encode_plain, 1: encode_constant, 2: encode_dict, 3: encode_rle,
     4: encode_for_bitpack, 5: encode_delta_bitpack, 6: encode_fsst,
+    7: encode_tokdict,
 }
 _DECODERS = {
     0: decode_plain, 1: decode_constant, 2: decode_dict, 3: decode_rle,
     4: decode_for_bitpack, 5: decode_delta_bitpack, 6: decode_fsst,
+    7: decode_tokdict,
 }
 
 

@@ -83,6 +83,19 @@ def column_stats(arr: pa.Array | pa.ChunkedArray) -> ColumnStats:
                        sortedness, delta_bits, range_bits)
 
 
+def _token_repeat_ratio(dense: pa.Array) -> float:
+    """distinct-token / token ratio on a small sample; low = word-level
+    symbol table (tokdict) wins over byte-level FSST."""
+    s = _sample(dense).slice(0, 512)
+    try:
+        flat = pc.list_flatten(pc.split_pattern(s, " "))
+    except pa.ArrowInvalid:
+        return 1.0
+    if len(flat) < 32:
+        return 1.0
+    return pc.count_distinct(flat).as_py() / len(flat)
+
+
 def choose_codec(arr: pa.Array | pa.ChunkedArray,
                  stats: ColumnStats | None = None) -> tuple[str, ColumnStats]:
     """Decision rules -> codec name. Deterministic given the chunk."""
@@ -114,6 +127,9 @@ def choose_codec(arr: pa.Array | pa.ChunkedArray,
             return "rle", st
         if distinct_ratio < 0.1 or st.n_distinct <= 256:
             return "dict", st
+        from .codecs.kernels import T_STRING
+        if typecode == T_STRING and _token_repeat_ratio(dense) < 0.5:
+            return "tokdict", st
         if st.byte_entropy < 7.5:
             return "fsst", st
         return "plain", st

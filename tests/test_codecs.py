@@ -251,3 +251,40 @@ def test_block_roundtrip():
     out, used = decode_block(buf)
     assert used == len(buf)
     assert out.equals(tbl)
+
+
+# --- tokdict ------------------------------------------------------------------
+
+@pytest.mark.parametrize("n", SWEEP_SIZES)
+def test_sweep_tokdict(n):
+    rng = np.random.default_rng(17)
+    pool = ["the cat", "", " ", "  double  spaces  ", "tab\there",
+            "line\nbreak", "日本 語", "a b c d e"]
+    vals = [pool[i] for i in rng.integers(0, len(pool), size=n)]
+    arr = pa.array(vals, type=pa.string())
+    assert_identical(roundtrip(arr, "tokdict"), arr)
+
+
+def test_tokdict_nulls_and_space_edges():
+    arr = pa.array([None, "", " ", "   ", "x", None, "a  b"], type=pa.string())
+    assert_identical(roundtrip(arr, "tokdict"), arr)
+
+
+def test_tokdict_beats_reference_on_token_soup():
+    rng = np.random.default_rng(23)
+    vocab = [f"tok{i}" for i in range(300)]
+    vals = [" ".join(vocab[j] for j in rng.integers(0, 300, size=30))
+            for _ in range(3000)]
+    arr = pa.array(vals)
+    buf = encode_column(arr, "tokdict")
+    ref = reference_column_size(arr)
+    assert len(buf) < 0.5 * ref
+    assert_identical(decode_column(buf)[0], arr)
+
+
+def test_selector_picks_tokdict_for_token_text():
+    rng = np.random.default_rng(29)
+    vocab = [f"tok{i}" for i in range(200)]
+    vals = [" ".join(vocab[j] for j in rng.integers(0, 200, size=25))
+            for _ in range(2000)]
+    assert choose_codec(pa.array(vals))[0] == "tokdict"
