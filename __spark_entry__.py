@@ -1,38 +1,683 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` exposes the engine's operator inventory (SURVEY.md §2) plus the
+training-data pipeline operators, each as a (spark, sf_dir) -> DataFrame
+callable; `oracle_sql()` gives the DuckDB-equivalent ANSI SQL. Every
+computed column is aliased identically on both sides; money sums go
+through exact integer cents to dodge float-accumulation divergence
+between engines.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cents(col):
+    """Exact integer cents from a 2-dp double — portable across engines."""
+    return F.round(col * 100, 0).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# §2.1/2.2 scans, projections, computed expressions, filters
+# ---------------------------------------------------------------------------
+
+def q_scan_project(spark, sf):
+    return (_t(spark, sf, "lineitem")
+            .select(F.col("l_orderkey").alias("orderkey"),
+                    F.col("l_partkey").alias("partkey"),
+                    F.col("l_quantity").alias("qty")))
+
+
+def q_compute_expr(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .alias("disc_price_cents"),
+        _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+               * (1 + F.col("l_tax"))).alias("charge_cents"),
+        (F.col("l_quantity").cast("long") % 2 == 0).alias("qty_even"))
+
+
+def q_filter_null_semantics(spark, sf):
+    # NULL predicate drops the row (filter.cc:170-199): nullif injects NULLs
+    ev = _t(spark, sf, "events")
+    val = F.nullif(F.col("event_type"), F.lit("error"))
+    return (ev.withColumn("et", val)
+              .filter(F.col("et") > F.lit("purchase"))
+              .select("event_id", "et"))
+
+
+def q_filter_in_list(spark, sf):
+    return (_t(spark, sf, "orders")
+            .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+            .select("o_orderkey", "o_orderpriority"))
+
+
+def q_generate_sequence(spark, sf):
+    # Generate + Sequence() terminal expression (generate.h:33,
+    # terminal_expressions.h:36-71)
+    return (spark.range(0, 10000)
+            .select(F.col("id"),
+                    (F.col("id") * 7 % 13).alias("m13"),
+                    (F.col("id") * F.col("id")).alias("sq")))
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+def q_hash_join_inner(spark, sf):
+    from supersonic_spark.operators import hash_join
+    li = _t(spark, sf, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    o = _t(spark, sf, "orders")
+    return (hash_join(li, o, ["o_orderkey"], "inner")
+            .select("o_orderkey", "l_linenumber", "o_orderstatus",
+                    _cents(F.col("o_totalprice")).alias("totalprice_cents")))
+
+
+def q_hash_join_left_outer(spark, sf):
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return (o.join(c, o.o_custkey == c.c_custkey, "left")
+             .select("o_orderkey", "c_name", "c_mktsegment"))
+
+
+def q_broadcast_join_unique(spark, sf):
+    # KeyUniqueness fast path (hash_join.h:44-46) -> broadcast hash join
+    from supersonic_spark.operators import hash_join
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation").withColumnRenamed("n_nationkey", "c_nationkey")
+    return (hash_join(c, n.select("c_nationkey", "n_name"),
+                      ["c_nationkey"], "inner", rhs_unique=True)
+            .select("c_custkey", "n_name"))
+
+
+def q_foreign_filter_semi(spark, sf):
+    from supersonic_spark.operators import foreign_filter
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    return (foreign_filter(o.withColumnRenamed("o_orderkey", "ok"), li
+                           .withColumnRenamed("l_orderkey", "ok"), "ok", "ok")
+            .select(F.col("ok").alias("o_orderkey"), "o_orderstatus"))
+
+
+def q_anti_join_orphans(spark, sf):
+    # orders that have no lineitems (left anti join)
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    return (o.join(li.select(F.col("l_orderkey").alias("o_orderkey")).distinct(),
+                   "o_orderkey", "left_anti")
+             .select("o_orderkey", "o_orderstatus"))
+
+
+def q_rowid_merge_join(spark, sf):
+    from supersonic_spark.operators import rowid_merge_join
+    c = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf, "nation").select("n_nationkey", "n_name")
+    return (rowid_merge_join(c, n, "c_nationkey", ["n_nationkey"])
+            .select("c_custkey", "n_name"))
+
+
+def q_lookup_index_multimatch(spark, sf):
+    # 0..n matches per probe (lookup_index.h:29-58)
+    from supersonic_spark.operators import lookup_index
+    p = _t(spark, sf, "part").select("p_partkey", "p_brand")
+    li = _t(spark, sf, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"), "l_quantity")
+    probed = lookup_index(p, li, ["p_partkey"], "p_partkey")
+    return (probed.groupBy("p_partkey", "p_brand")
+            .agg(F.count("*").alias("n_matches"),
+                 F.sum(F.col("l_quantity").cast("long")).alias("sum_qty")))
+
+
+def q_coalesce_zip(spark, sf):
+    # column-wise positional zip (coalesce.h:16-25)
+    from supersonic_spark.operators import coalesce_zip
+    r = _t(spark, sf, "region").select("r_regionkey", "r_name")
+    s = (_t(spark, sf, "supplier").orderBy("s_suppkey").limit(5)
+         .select("s_suppkey", "s_name"))
+    return coalesce_zip(r.orderBy("r_regionkey"), s)
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations
+# ---------------------------------------------------------------------------
+
+def q_group_agg_pricing_summary(spark, sf):
+    # flagship: the reference primer's GroupedSums generalized
+    # (primer.cc:241-292) as a TPC-H-Q1-style pricing summary
+    li = _t(spark, sf, "lineitem")
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+                 F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+                 F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+                 .alias("sum_disc_cents"),
+                 F.count("*").alias("count_order")))
+
+
+def q_agg_min_max(spark, sf):
+    ev = _t(spark, sf, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.min(_cents(F.col("value"))).alias("min_cents"),
+                 F.max(_cents(F.col("value"))).alias("max_cents"),
+                 F.min("ts").alias("min_ts"),
+                 F.max("user_id").alias("max_user")))
+
+
+def q_agg_distinct(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (o.groupBy("o_orderstatus")
+            .agg(F.countDistinct("o_custkey").alias("n_cust"),
+                 F.countDistinct("o_orderpriority").alias("n_prio"),
+                 F.count("*").alias("n_rows")))
+
+
+def q_agg_concat(spark, sf):
+    # CONCAT aggregate (supersonic.proto:91-99) made deterministic by sorting
+    n = _t(spark, sf, "nation")
+    return (n.groupBy("n_regionkey")
+            .agg(F.array_join(F.array_sort(F.collect_list("n_name")), ",")
+                 .alias("names")))
+
+
+def q_agg_first_last(spark, sf):
+    # FIRST/LAST made order-explicit via min_by/max_by
+    ev = _t(spark, sf, "events")
+    return (ev.groupBy("user_id")
+            .agg(F.min_by("event_type", "event_id").alias("first_type"),
+                 F.max_by("event_type", "event_id").alias("last_type"),
+                 F.count("*").alias("n")))
+
+
+def q_scalar_agg_empty(spark, sf):
+    # total aggregation: exactly 1 row even for empty input
+    # (aggregate.h:338-345)
+    li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") < -1)
+    return li.agg(F.count("*").alias("n"),
+                  F.sum(F.col("l_quantity").cast("long")).alias("s"),
+                  F.max("l_shipdate").alias("mx"))
+
+
+def q_agg_all_null_group(spark, sf):
+    # empty/all-NULL group -> NULL (column_aggregator.h:37-43)
+    li = _t(spark, sf, "lineitem")
+    nulled = F.nullif(F.col("l_discount"), F.col("l_discount"))
+    return (li.groupBy("l_returnflag")
+            .agg(F.sum(nulled).alias("sum_all_null"),
+                 F.max(nulled).alias("max_all_null"),
+                 F.count("*").alias("n")))
+
+
+def q_group_agg_with_limit(spark, sf):
+    # GroupAggregate with unique-key cap + catch-all row
+    # (aggregate.h:264-276)
+    from supersonic_spark.operators import group_aggregate_with_limit
+    o = _t(spark, sf, "orders").withColumn(
+        "price_cents", _cents(F.col("o_totalprice"))).withColumn(
+        "custkey", F.col("o_custkey").cast("string"))
+    return group_aggregate_with_limit(o, "custkey", "price_cents", 5)
+
+
+def q_multi_distinct_rewrite(spark, sf):
+    # multiple DISTINCT aggregations in one pass — the hybrid transform
+    # (hybrid_group_utils.h:22-70); Spark's Expand rewrite does it natively
+    li = _t(spark, sf, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.countDistinct("l_partkey").alias("d_parts"),
+                 F.countDistinct("l_suppkey").alias("d_supps"),
+                 F.countDistinct("l_orderkey").alias("d_orders")))
+
+
+def q_avg_composed(spark, sf):
+    # AVG absent in reference -> composed from SUM/COUNT
+    o = _t(spark, sf, "orders")
+    return (o.groupBy("o_orderpriority")
+            .agg(F.sum(_cents(F.col("o_totalprice"))).alias("sum_cents"),
+                 F.count("*").alias("n"))
+            .withColumn("avg_cents",
+                        F.round(F.col("sum_cents") / F.col("n"), 4)))
+
+
+# ---------------------------------------------------------------------------
+# §2.5 sort / limit / top-k
+# ---------------------------------------------------------------------------
+
+def q_sort_topk(spark, sf):
+    from supersonic_spark.operators import extended_sort
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", _cents(F.col("o_totalprice")).alias("price_cents"))
+    return extended_sort(o, [("price_cents", "desc"), ("o_orderkey", "asc")],
+                         limit=100)
+
+
+def q_sort_case_insensitive(spark, sf):
+    from supersonic_spark.operators import extended_sort
+    p = _t(spark, sf, "part").select("p_partkey", "p_type")
+    return extended_sort(p, [("p_type", "asc"), ("p_partkey", "asc")],
+                         limit=50, case_sensitive=False) \
+        .select("p_partkey", F.lower(F.col("p_type")).alias("p_type_lower"))
+
+
+def q_sort_nulls_first(spark, sf):
+    # NULLs sort before non-NULLs (sort.cc:16-83)
+    ev = _t(spark, sf, "events").withColumn(
+        "v", F.nullif(F.col("event_type"), F.lit("view")))
+    return (ev.orderBy(F.col("v").asc_nulls_first(), F.col("event_id").asc())
+              .limit(150).select("event_id", "v"))
+
+
+def q_limit_offset(spark, sf):
+    from supersonic_spark.operators import limit_offset
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderstatus")
+    return limit_offset(o, limit=100, offset=200, order=["o_orderkey"])
+
+
+# ---------------------------------------------------------------------------
+# §2.6 set operations
+# ---------------------------------------------------------------------------
+
+def q_merge_union_all(spark, sf):
+    from supersonic_spark.operators import merge_union_all
+    o = _t(spark, sf, "orders")
+    hi = o.filter(F.col("o_orderpriority") == "1-URGENT") \
+          .select("o_orderkey", "o_orderpriority")
+    lo = o.filter(F.col("o_orderpriority") == "5-LOW") \
+          .select("o_orderkey", "o_orderpriority")
+    return merge_union_all([hi, lo])
+
+
+def q_distinct(spark, sf):
+    return (_t(spark, sf, "lineitem")
+            .select("l_returnflag", "l_linestatus").distinct())
+
+
+def q_intersect_nations(spark, sf):
+    c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.intersect(s)
+
+
+def q_except_nations(spark, sf):
+    # EXCEPT (set semantics) = DataFrame.subtract
+    c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.subtract(s)
+
+
+# ---------------------------------------------------------------------------
+# §2.7 scalar expression families
+# ---------------------------------------------------------------------------
+
+def q_expr_math(spark, sf):
+    li = _t(spark, sf, "lineitem").filter(F.col("l_linenumber") == 1)
+    q = F.col("l_quantity")
+    return li.select(
+        "l_orderkey",
+        F.round(F.abs(-q), 4).alias("abs_q"),
+        F.round(F.sqrt(q), 4).alias("sqrt_q"),
+        F.round(F.exp(q / 100), 4).alias("exp_q"),
+        F.round(F.log(q + 1), 4).alias("ln_q"),
+        F.round(F.log10(q + 1), 4).alias("log10_q"),
+        F.round(F.pow(q, 2), 4).alias("pow_q"),
+        F.ceil(q / 7).cast("long").alias("ceil_q"),
+        F.floor(q / 7).cast("long").alias("floor_q"),
+        F.round(F.sin(q), 4).alias("sin_q"),
+        (F.col("l_quantity").cast("long") % 5).alias("mod_q"))
+
+
+def q_expr_string(spark, sf):
+    c = _t(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper(F.col("c_mktsegment")).alias("seg_upper"),
+        F.lower(F.col("c_name")).alias("name_lower"),
+        F.length(F.col("c_name")).alias("name_len"),
+        F.substring(F.col("c_name"), 10, 5).alias("name_sub"),
+        F.concat_ws("|", F.col("c_mktsegment"), F.col("c_name")).alias("joined"),
+        F.instr(F.col("c_name"), "#").alias("hash_pos"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust"))
+        .alias("name_repl"),
+        F.trim(F.lit("  pad  ")).alias("trimmed"),
+        F.col("c_name").contains("0").alias("has_zero"))
+
+
+def q_expr_regexp(spark, sf):
+    c = _t(spark, sf, "customer")
+    return (c.filter(F.col("c_name").rlike("[0-9]{2,}"))
+             .select("c_custkey",
+                     F.regexp_extract(F.col("c_name"), "([0-9]+)", 1)
+                      .alias("digits"),
+                     F.regexp_replace(F.col("c_name"), "[0-9]", "#")
+                      .alias("masked")))
+
+
+def q_expr_datetime(spark, sf):
+    ev = _t(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.month("ts").alias("mo"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.minute("ts").alias("mi"),
+        F.second("ts").alias("s"),
+        F.quarter("ts").alias("qtr"),
+        F.unix_timestamp("ts").alias("epoch_s"),
+        F.date_format("ts", "yyyy-MM-dd HH").alias("fmt"),
+        (F.col("ts") + F.expr("INTERVAL 30 DAYS")).alias("plus30d"))
+
+
+def q_expr_case_cast(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderpriority") == "1-URGENT", "hot")
+         .when(F.col("o_orderpriority") == "5-LOW", "cold")
+         .otherwise("warm").alias("heat"),
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderkey").cast("double").alias("key_dbl"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")),
+                   F.lit("OPEN")).alias("status_filled"),
+        F.substring(F.col("o_orderpriority"), 1, 1).try_cast("int")
+        .alias("prio_num"))
+
+
+def q_expr_bitwise(spark, sf):
+    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") < 500)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("band"),
+        k.bitwiseOR(F.lit(16)).alias("bor"),
+        k.bitwiseXOR(F.lit(85)).alias("bxor"),
+        F.shiftleft(k, 2).alias("shl"),
+        F.shiftright(k, 1).alias("shr"))
+
+
+def q_expr_hashing(spark, sf):
+    # portable fingerprint (hashing_expressions.h:28-35 analogue)
+    from supersonic_spark.text import portable_hash64
+    c = _t(spark, sf, "customer")
+    return c.select("c_custkey",
+                    portable_hash64(F.col("c_name")).alias("name_hash"),
+                    F.sha2(F.col("c_name").cast("binary"), 256).alias("sha"))
+
+
+# ---------------------------------------------------------------------------
+# §2.8 stateful / running expressions (windows over explicit order)
+# ---------------------------------------------------------------------------
+
+def _events_window():
+    return Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+
+def q_stateful_changed(spark, sf):
+    from supersonic_spark.functions import changed
+    ev = _t(spark, sf, "events")
+    w = _events_window()
+    flagged = ev.withColumn("chg", changed(F.col("event_type"), w))
+    return (flagged.groupBy("user_id")
+            .agg(F.sum(F.when(F.col("chg"), 1).otherwise(0)).alias("n_runs"),
+                 F.count("*").alias("n_events")))
+
+
+def q_stateful_running_sum(spark, sf):
+    from supersonic_spark.functions import running_sum
+    ev = _t(spark, sf, "events").withColumn("cents", _cents(F.col("value")))
+    return ev.select("event_id",
+                     running_sum(F.col("cents"), _events_window())
+                     .alias("rsum_cents"))
+
+
+def q_stateful_smudge(spark, sf):
+    from supersonic_spark.functions import smudge
+    ev = _t(spark, sf, "events").withColumn(
+        "cents", F.when(F.col("event_type") != "error",
+                        _cents(F.col("value"))))
+    return ev.select("event_id",
+                     smudge(F.col("cents"), _events_window())
+                     .alias("locf_cents"))
+
+
+def q_stateful_running_min_flush(spark, sf):
+    from supersonic_spark.functions import running_min_with_flush
+    ev = _t(spark, sf, "events").withColumn("cents", _cents(F.col("value")))
+    rmin = running_min_with_flush(
+        F.col("cents"), F.col("event_type") == "signup",
+        [F.col("user_id")], [F.col("ts"), F.col("event_id")])
+    return ev.select("event_id", rmin.alias("rmin_cents"))
+
+
+def q_stateful_smudge_if(spark, sf):
+    from supersonic_spark.functions import smudge_if
+    ev = _t(spark, sf, "events").withColumn("cents", _cents(F.col("value")))
+    out = smudge_if(F.col("cents"), F.col("event_type") == "error",
+                    _events_window())
+    return ev.select("event_id", out.alias("v_cents"))
+
+
+def q_window_rank(spark, sf):
+    # ranking/analytic windows (absent in reference; Spark-native)
+    ev = _t(spark, sf, "events")
+    w = _events_window()
+    return ev.select(
+        "event_id",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(Window.partitionBy("user_id")
+                      .orderBy(F.col("event_type"))).alias("rk"),
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_id").over(w).alias("next_id"))
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline operators (dedup / similarity / text analysis)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf):
+    from supersonic_spark.text import exact_dedup
+    return exact_dedup(_t(spark, sf, "documents"), "text", "doc_id")
+
+
+def q_dedup_minhash_sig(spark, sf):
+    from supersonic_spark.text.dedup import minhash_signature
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 50)
+    return minhash_signature(d, "text", "doc_id", k=8, shingle_n=2)
+
+
+def q_dedup_simhash(spark, sf):
+    from supersonic_spark.text.dedup import simhash64
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    return simhash64(d, "text", "doc_id")
+
+
+def q_ngram_jaccard(spark, sf):
+    from supersonic_spark.text.dedup import ngram_jaccard_pairs
+    d = _t(spark, sf, "documents")
+    return ngram_jaccard_pairs(d, "text", "doc_id", group_col="source",
+                               n=1, threshold=0.5)
+
+
+def q_text_token_count(spark, sf):
+    from supersonic_spark.text import token_count
+    d = _t(spark, sf, "documents").filter(F.length("text") > 0)
+    return d.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+
+
+def q_text_quality(spark, sf):
+    from supersonic_spark.text import quality_score
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+def q_text_langid(spark, sf):
+    from supersonic_spark.text import langid_expr
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", langid_expr(F.col("text")).alias("lang_guess"))
+
+
+def q_doc_fingerprint(spark, sf):
+    from supersonic_spark.text import doc_fingerprint
+    d = _t(spark, sf, "documents")
+    return (d.select(doc_fingerprint(F.col("text")).alias("fp"), "doc_id")
+             .groupBy("fp").agg(F.min("doc_id").alias("rep_id"),
+                                F.count("*").alias("n")))
+
+
+def q_ann_cosine_threshold(spark, sf):
+    import pyarrow.parquet as pq
+    from supersonic_spark.ann import cosine
+    qvec = pq.read_table(f"{sf}/embeddings.parquet").column("embedding")[0].as_py()
+    e = _t(spark, sf, "embeddings")
+    qlit = F.array(*[F.lit(float(v)) for v in qvec])
+    return (e.select("vec_id",
+                     F.round(cosine(F.col("embedding").cast("array<double>"),
+                                    qlit), 4).alias("cos_sim"))
+             .filter(F.col("cos_sim") >= 0.15))
+
+
+def q_ann_topk(spark, sf):
+    import pyarrow.parquet as pq
+    from supersonic_spark.ann import cosine_topk
+    qvec = pq.read_table(f"{sf}/embeddings.parquet").column("embedding")[0].as_py()
+    return cosine_topk(_t(spark, sf, "embeddings"), qvec, 20)
+
+
+def q_embedding_near_pairs(spark, sf):
+    from supersonic_spark.ann import pairwise_cosine_pairs
+    e = _t(spark, sf, "embeddings")
+    return pairwise_cosine_pairs(e, 0.3, block_col="label")
+
+
+def q_multimodal_binary_meta(spark, sf):
+    # multimodal plumbing: opaque binary payload + typed metadata
+    d = _t(spark, sf, "documents")
+    payload = F.col("text").cast("binary")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).alias("n_bytes"),
+        F.sha2(payload, 256).alias("sha"),
+        F.substring(F.col("text"), 1, 8).alias("head"))
+
+
+def q_codec_roundtrip_docs(spark, sf):
+    """Distributed encode->decode through the codec stack inside each
+    task; correctness gate proves bit-identity vs the raw table."""
+    import pyarrow as pa
+
+    def rt(batches):
+        from supersonic_spark.codecs import encode_block, decode_block
+        from supersonic_spark.selector import choose_codecs
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            buf = encode_block(tbl, choose_codecs(tbl))
+            out, _ = decode_block(buf)
+            yield from out.to_batches()
+
+    d = _t(spark, sf, "documents").repartition(4)
+    return d.mapInArrow(rt, schema=d.schema)
+
+
+def q_codec_selection_report(spark, sf):
+    """Lineage view: which codec the auto-selector picks per column of
+    the documents table, per partition (rows-only check)."""
+    import pyarrow as pa
+
+    def report(batches):
+        from supersonic_spark.selector import choose_codecs
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            codecs = choose_codecs(tbl)
+            yield pa.RecordBatch.from_pydict({
+                "column": pa.array(list(codecs.keys()), pa.string()),
+                "codec": pa.array(list(codecs.values()), pa.string()),
+            })
+
+    d = _t(spark, sf, "documents").repartition(2)
+    rep = d.mapInArrow(report, schema="column string, codec string")
+    return rep.groupBy("column", "codec").count()
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on sf0.001 (primer GroupedSums analogue)."""
+    return q_group_agg_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "scan_project": q_scan_project,
+        "compute_expr": q_compute_expr,
+        "filter_null_semantics": q_filter_null_semantics,
+        "filter_in_list": q_filter_in_list,
+        "generate_sequence": q_generate_sequence,
+        "hash_join_inner": q_hash_join_inner,
+        "hash_join_left_outer": q_hash_join_left_outer,
+        "broadcast_join_unique": q_broadcast_join_unique,
+        "foreign_filter_semi": q_foreign_filter_semi,
+        "anti_join_orphans": q_anti_join_orphans,
+        "rowid_merge_join": q_rowid_merge_join,
+        "lookup_index_multimatch": q_lookup_index_multimatch,
+        "coalesce_zip": q_coalesce_zip,
+        "group_agg_pricing_summary": q_group_agg_pricing_summary,
+        "agg_min_max": q_agg_min_max,
+        "agg_distinct": q_agg_distinct,
+        "agg_concat": q_agg_concat,
+        "agg_first_last": q_agg_first_last,
+        "scalar_agg_empty": q_scalar_agg_empty,
+        "agg_all_null_group": q_agg_all_null_group,
+        "group_agg_with_limit": q_group_agg_with_limit,
+        "multi_distinct_rewrite": q_multi_distinct_rewrite,
+        "avg_composed": q_avg_composed,
+        "sort_topk": q_sort_topk,
+        "sort_case_insensitive": q_sort_case_insensitive,
+        "sort_nulls_first": q_sort_nulls_first,
+        "limit_offset": q_limit_offset,
+        "merge_union_all": q_merge_union_all,
+        "distinct": q_distinct,
+        "intersect_nations": q_intersect_nations,
+        "except_nations": q_except_nations,
+        "expr_math": q_expr_math,
+        "expr_string": q_expr_string,
+        "expr_regexp": q_expr_regexp,
+        "expr_datetime": q_expr_datetime,
+        "expr_case_cast": q_expr_case_cast,
+        "expr_bitwise": q_expr_bitwise,
+        "expr_hashing": q_expr_hashing,
+        "stateful_changed": q_stateful_changed,
+        "stateful_running_sum": q_stateful_running_sum,
+        "stateful_smudge": q_stateful_smudge,
+        "stateful_running_min_flush": q_stateful_running_min_flush,
+        "stateful_smudge_if": q_stateful_smudge_if,
+        "window_rank": q_window_rank,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_sig": q_dedup_minhash_sig,
+        "dedup_simhash": q_dedup_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "text_token_count": q_text_token_count,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "doc_fingerprint": q_doc_fingerprint,
+        "ann_cosine_threshold": q_ann_cosine_threshold,
+        "ann_topk": q_ann_topk,
+        "embedding_near_pairs": q_embedding_near_pairs,
+        "multimodal_binary_meta": q_multimodal_binary_meta,
+        "codec_roundtrip_docs": q_codec_roundtrip_docs,
+        "codec_selection_report": q_codec_selection_report,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from supersonic_spark.plans.oracles import ORACLES
+    return dict(ORACLES)

@@ -1,0 +1,533 @@
+"""DuckDB oracle SQL, one entry per `queries()` key in __spark_entry__.py.
+
+Conventions keeping Spark and DuckDB hash-identical:
+- money/value sums via exact integer cents: CAST(round(x*100,0) AS BIGINT)
+- DuckDB SUM(BIGINT) returns HUGEINT -> always CAST(... AS BIGINT)
+- doubles rounded to 4 decimals on both sides
+- portable hash = ('0x' || substr(md5(x),1,15))::BIGINT on DuckDB,
+  conv(substring(md5(x),1,15),16,10)::long on Spark (verified identical)
+Queries with no oracle entry (codec_selection_report) get the driver's
+rows-only check.
+"""
+
+_CENTS = "CAST(round({col}*100, 0) AS BIGINT)"
+_H = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["scan_project"] = """
+SELECT l_orderkey AS orderkey, l_partkey AS partkey, l_quantity AS qty
+FROM lineitem
+"""
+
+ORACLES["compute_expr"] = """
+SELECT l_orderkey, l_linenumber,
+       CAST(round(l_extendedprice*(1-l_discount)*100, 0) AS BIGINT) AS disc_price_cents,
+       CAST(round(l_extendedprice*(1-l_discount)*(1+l_tax)*100, 0) AS BIGINT) AS charge_cents,
+       (CAST(l_quantity AS BIGINT) % 2 = 0) AS qty_even
+FROM lineitem
+"""
+
+ORACLES["filter_null_semantics"] = """
+SELECT event_id, et FROM (
+  SELECT event_id, nullif(event_type, 'error') AS et FROM events)
+WHERE et > 'purchase'
+"""
+
+ORACLES["filter_in_list"] = """
+SELECT o_orderkey, o_orderpriority FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+"""
+
+ORACLES["generate_sequence"] = """
+SELECT i AS id, (i*7) % 13 AS m13, i*i AS sq FROM range(0, 10000) t(i)
+"""
+
+ORACLES["hash_join_inner"] = """
+SELECT l.l_orderkey AS o_orderkey, l.l_linenumber, o.o_orderstatus,
+       CAST(round(o.o_totalprice*100, 0) AS BIGINT) AS totalprice_cents
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+"""
+
+ORACLES["hash_join_left_outer"] = """
+SELECT o.o_orderkey, c.c_name, c.c_mktsegment
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+ORACLES["broadcast_join_unique"] = """
+SELECT c.c_custkey, n.n_name
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+"""
+
+ORACLES["foreign_filter_semi"] = """
+SELECT o_orderkey, o_orderstatus FROM orders
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem)
+"""
+
+ORACLES["anti_join_orphans"] = """
+SELECT o_orderkey, o_orderstatus FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+"""
+
+ORACLES["rowid_merge_join"] = """
+WITH rid AS (
+  SELECT n_name, row_number() OVER (ORDER BY n_nationkey) - 1 AS _rowid
+  FROM nation)
+SELECT c.c_custkey, r.n_name
+FROM customer c JOIN rid r ON c.c_nationkey = r._rowid
+"""
+
+ORACLES["lookup_index_multimatch"] = """
+SELECT p.p_partkey, p.p_brand, count(*) AS n_matches,
+       CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+GROUP BY p.p_partkey, p.p_brand
+"""
+
+ORACLES["coalesce_zip"] = """
+WITH l AS (SELECT r_regionkey, r_name,
+                  row_number() OVER (ORDER BY r_regionkey, r_name) AS _pos
+           FROM region),
+     r AS (SELECT s_suppkey, s_name,
+                  row_number() OVER (ORDER BY s_suppkey, s_name) AS _pos
+           FROM (SELECT s_suppkey, s_name FROM supplier
+                 ORDER BY s_suppkey LIMIT 5))
+SELECT l.r_regionkey, l.r_name, r.s_suppkey, r.s_name
+FROM l JOIN r USING (_pos)
+"""
+
+ORACLES["group_agg_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*100, 0) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+       count(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+ORACLES["agg_min_max"] = """
+SELECT event_type,
+       CAST(MIN(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS min_cents,
+       CAST(MAX(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS max_cents,
+       MIN(ts) AS min_ts, CAST(MAX(user_id) AS BIGINT) AS max_user
+FROM events GROUP BY event_type
+"""
+
+ORACLES["agg_distinct"] = """
+SELECT o_orderstatus,
+       count(DISTINCT o_custkey) AS n_cust,
+       count(DISTINCT o_orderpriority) AS n_prio,
+       count(*) AS n_rows
+FROM orders GROUP BY o_orderstatus
+"""
+
+ORACLES["agg_concat"] = """
+SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names
+FROM nation GROUP BY n_regionkey
+"""
+
+ORACLES["agg_first_last"] = """
+SELECT user_id, arg_min(event_type, event_id) AS first_type,
+       arg_max(event_type, event_id) AS last_type, count(*) AS n
+FROM events GROUP BY user_id
+"""
+
+ORACLES["scalar_agg_empty"] = """
+SELECT count(*) AS n,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s,
+       MAX(l_shipdate) AS mx
+FROM lineitem WHERE l_quantity < -1
+"""
+
+ORACLES["agg_all_null_group"] = """
+SELECT l_returnflag,
+       SUM(nullif(l_discount, l_discount)) AS sum_all_null,
+       MAX(nullif(l_discount, l_discount)) AS max_all_null,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+ORACLES["group_agg_with_limit"] = """
+WITH agg AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS custkey,
+         CAST(SUM(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS agg_val,
+         count(*) AS n_rows
+  FROM orders GROUP BY 1),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY agg_val DESC, custkey ASC) AS rk
+  FROM agg)
+SELECT custkey, agg_val, n_rows FROM ranked WHERE rk <= 5
+UNION ALL
+SELECT '__other__' AS custkey, CAST(SUM(agg_val) AS BIGINT) AS agg_val,
+       CAST(SUM(n_rows) AS BIGINT) AS n_rows
+FROM ranked WHERE rk > 5 HAVING count(*) > 0
+"""
+
+ORACLES["multi_distinct_rewrite"] = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS d_parts,
+       count(DISTINCT l_suppkey) AS d_supps,
+       count(DISTINCT l_orderkey) AS d_orders
+FROM lineitem GROUP BY l_returnflag
+"""
+
+ORACLES["avg_composed"] = """
+SELECT o_orderpriority, sum_cents, n, round(sum_cents / n, 4) AS avg_cents
+FROM (
+  SELECT o_orderpriority,
+         CAST(SUM(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS sum_cents,
+         count(*) AS n
+  FROM orders GROUP BY o_orderpriority)
+"""
+
+ORACLES["sort_topk"] = """
+SELECT o_orderkey, CAST(round(o_totalprice*100,0) AS BIGINT) AS price_cents
+FROM orders ORDER BY price_cents DESC, o_orderkey ASC LIMIT 100
+"""
+
+ORACLES["sort_case_insensitive"] = """
+SELECT p_partkey, lower(p_type) AS p_type_lower FROM part
+ORDER BY lower(p_type) ASC, p_partkey ASC LIMIT 50
+"""
+
+ORACLES["sort_nulls_first"] = """
+SELECT event_id, v FROM (
+  SELECT event_id, nullif(event_type, 'view') AS v FROM events)
+ORDER BY v ASC NULLS FIRST, event_id ASC LIMIT 150
+"""
+
+ORACLES["limit_offset"] = """
+SELECT o_orderkey, o_orderstatus FROM orders
+ORDER BY o_orderkey LIMIT 100 OFFSET 200
+"""
+
+ORACLES["merge_union_all"] = """
+SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
+UNION ALL
+SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '5-LOW'
+"""
+
+ORACLES["distinct"] = """
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+"""
+
+ORACLES["intersect_nations"] = """
+SELECT c_nationkey AS nk FROM customer
+INTERSECT
+SELECT s_nationkey AS nk FROM supplier
+"""
+
+ORACLES["except_nations"] = """
+SELECT c_nationkey AS nk FROM customer
+EXCEPT
+SELECT s_nationkey AS nk FROM supplier
+"""
+
+ORACLES["expr_math"] = """
+SELECT l_orderkey,
+       round(abs(-l_quantity), 4) AS abs_q,
+       round(sqrt(l_quantity), 4) AS sqrt_q,
+       round(exp(l_quantity/100), 4) AS exp_q,
+       round(ln(l_quantity+1), 4) AS ln_q,
+       round(log10(l_quantity+1), 4) AS log10_q,
+       round(pow(l_quantity, 2), 4) AS pow_q,
+       CAST(ceil(l_quantity/7) AS BIGINT) AS ceil_q,
+       CAST(floor(l_quantity/7) AS BIGINT) AS floor_q,
+       round(sin(l_quantity), 4) AS sin_q,
+       CAST(l_quantity AS BIGINT) % 5 AS mod_q
+FROM lineitem WHERE l_linenumber = 1
+"""
+
+ORACLES["expr_string"] = """
+SELECT c_custkey,
+       upper(c_mktsegment) AS seg_upper,
+       lower(c_name) AS name_lower,
+       CAST(length(c_name) AS INTEGER) AS name_len,
+       substring(c_name, 10, 5) AS name_sub,
+       c_mktsegment || '|' || c_name AS joined,
+       CAST(strpos(c_name, '#') AS INTEGER) AS hash_pos,
+       replace(c_name, 'Customer', 'Cust') AS name_repl,
+       'pad' AS trimmed,
+       contains(c_name, '0') AS has_zero
+FROM customer
+"""
+
+ORACLES["expr_regexp"] = """
+SELECT c_custkey,
+       regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+       regexp_replace(c_name, '[0-9]', '#', 'g') AS masked
+FROM customer WHERE regexp_matches(c_name, '[0-9]{2,}')
+"""
+
+ORACLES["expr_datetime"] = """
+SELECT event_id,
+       CAST(year(ts) AS INTEGER) AS y,
+       CAST(month(ts) AS INTEGER) AS mo,
+       CAST(day(ts) AS INTEGER) AS d,
+       CAST(hour(ts) AS INTEGER) AS h,
+       CAST(minute(ts) AS INTEGER) AS mi,
+       CAST(second(ts) AS INTEGER) AS s,
+       CAST(quarter(ts) AS INTEGER) AS qtr,
+       CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+       strftime(ts, '%Y-%m-%d %H') AS fmt,
+       ts + INTERVAL 30 DAY AS plus30d
+FROM events
+"""
+
+ORACLES["expr_case_cast"] = """
+SELECT o_orderkey,
+       CASE WHEN o_orderpriority = '1-URGENT' THEN 'hot'
+            WHEN o_orderpriority = '5-LOW' THEN 'cold'
+            ELSE 'warm' END AS heat,
+       CAST(o_orderkey AS VARCHAR) AS key_str,
+       CAST(o_orderkey AS DOUBLE) AS key_dbl,
+       coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_filled,
+       TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS prio_num
+FROM orders
+"""
+
+ORACLES["expr_bitwise"] = """
+SELECT o_orderkey,
+       o_orderkey & 255 AS band,
+       o_orderkey | 16 AS bor,
+       xor(o_orderkey, 85) AS bxor,
+       o_orderkey << 2 AS shl,
+       o_orderkey >> 1 AS shr
+FROM orders WHERE o_orderkey < 500
+"""
+
+ORACLES["expr_hashing"] = f"""
+SELECT c_custkey,
+       {_H.format(x='c_name')} AS name_hash,
+       sha256(c_name) AS sha
+FROM customer
+"""
+
+_W = "PARTITION BY user_id ORDER BY ts, event_id"
+_WR = _W + " ROWS UNBOUNDED PRECEDING"
+
+ORACLES["stateful_changed"] = f"""
+WITH f AS (
+  SELECT user_id,
+         CASE WHEN lag(event_type) OVER ({_W}) IS NULL
+                OR event_type <> lag(event_type) OVER ({_W})
+              THEN 1 ELSE 0 END AS chg
+  FROM events)
+SELECT user_id, CAST(SUM(chg) AS BIGINT) AS n_runs, count(*) AS n_events
+FROM f GROUP BY user_id
+"""
+
+ORACLES["stateful_running_sum"] = f"""
+SELECT event_id,
+       CAST(SUM(CAST(round(value*100,0) AS BIGINT)) OVER ({_WR}) AS BIGINT)
+         AS rsum_cents
+FROM events
+"""
+
+ORACLES["stateful_smudge"] = f"""
+SELECT event_id,
+       last_value(CASE WHEN event_type <> 'error'
+                       THEN CAST(round(value*100,0) AS BIGINT) END
+                  IGNORE NULLS) OVER ({_WR}) AS locf_cents
+FROM events
+"""
+
+ORACLES["stateful_running_min_flush"] = f"""
+WITH s AS (
+  SELECT event_id, user_id, ts,
+         CAST(round(value*100,0) AS BIGINT) AS cents,
+         SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+           OVER ({_WR}) AS session
+  FROM events)
+SELECT event_id,
+       CAST(MIN(cents) OVER (PARTITION BY user_id, session
+                             ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS rmin_cents
+FROM s
+"""
+
+ORACLES["stateful_smudge_if"] = f"""
+SELECT event_id,
+       CASE WHEN event_type = 'error'
+            THEN last_value(CASE WHEN NOT (event_type = 'error')
+                                 THEN CAST(round(value*100,0) AS BIGINT) END
+                            IGNORE NULLS) OVER ({_WR})
+            ELSE CAST(round(value*100,0) AS BIGINT) END AS v_cents
+FROM events
+"""
+
+ORACLES["window_rank"] = f"""
+SELECT event_id,
+       CAST(row_number() OVER ({_W}) AS INTEGER) AS rn,
+       CAST(rank() OVER (PARTITION BY user_id ORDER BY event_type) AS INTEGER) AS rk,
+       lag(event_type) OVER ({_W}) AS prev_type,
+       lead(event_id) OVER ({_W}) AS next_id
+FROM events
+"""
+
+ORACLES["dedup_exact"] = f"""
+SELECT {_H.format(x='text')} AS content_hash,
+       CAST(MIN(doc_id) AS BIGINT) AS rep_id, count(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+ORACLES["dedup_minhash_sig"] = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents WHERE doc_id < 50),
+shingles AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS shingle
+  FROM toks, UNNEST(generate_series(1, len(t)-1)) AS u(i)),
+hashed AS (
+  SELECT doc_id, k.i AS i,
+         {_H.format(x="shingle || '#' || k.i")} AS h
+  FROM shingles, UNNEST(generate_series(0, 7)) AS k(i))
+SELECT doc_id, CAST(i AS INTEGER) AS i, CAST(MIN(h) AS BIGINT) AS minhash
+FROM hashed GROUP BY doc_id, i
+"""
+
+ORACLES["dedup_simhash"] = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents WHERE doc_id < 100),
+u AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(t) AS tok FROM toks)),
+h AS (SELECT doc_id, {_H.format(x='tok')} AS h FROM u),
+votes AS (
+  SELECT doc_id, b.bit AS bit,
+         SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h, UNNEST(generate_series(0, 59)) AS b(bit)
+  GROUP BY doc_id, b.bit)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+            AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+ORACLES["ngram_jaccard"] = """
+WITH g AS (
+  SELECT DISTINCT doc_id, source, tok AS g FROM (
+    SELECT doc_id, source,
+           unnest(string_split_regex(trim(text), '\\s+')) AS tok
+    FROM documents)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM g a JOIN g b ON a.g = b.g AND a.source = b.source
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(n_inter / (sa.sz + sb.sz - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(n_inter / (sa.sz + sb.sz - n_inter), 4) >= 0.5
+"""
+
+ORACLES["text_token_count"] = """
+SELECT doc_id,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(text), '\\s+')) END
+            AS INTEGER) AS n_tokens
+FROM documents WHERE length(text) > 0
+"""
+
+ORACLES["text_quality"] = """
+SELECT doc_id,
+       round(0.4*len_band + 0.4*alpha_ratio + 0.2*tok_band, 4) AS quality
+FROM (
+  SELECT doc_id,
+    CASE WHEN length(text) BETWEEN 20 AND 4000 THEN 1.0 ELSE 0.3 END AS len_band,
+    CASE WHEN length(text) > 0
+         THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text)
+         ELSE 0.0 END AS alpha_ratio,
+    CASE WHEN ntok > 0 AND length(text)/ntok BETWEEN 2.5 AND 12.0
+         THEN 1.0 ELSE 0.5 END AS tok_band
+  FROM (
+    SELECT doc_id, text,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END AS ntok
+    FROM documents))
+"""
+
+_MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "for", "was"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "se", "del", "las"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "von", "mit", "den", "zu"],
+}
+_MK = {k: "[" + ", ".join(f"'{m}'" for m in v) + "]" for k, v in _MARKERS.items()}
+
+ORACLES["text_langid"] = f"""
+WITH s AS (
+  SELECT doc_id,
+         len(list_intersect(toks, {_MK['en']})) AS s_en,
+         len(list_intersect(toks, {_MK['es']})) AS s_es,
+         len(list_intersect(toks, {_MK['de']})) AS s_de
+  FROM (
+    SELECT doc_id,
+           list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS toks
+    FROM documents))
+SELECT doc_id,
+       CASE WHEN greatest(s_en, s_es, s_de) <= 0 THEN 'und'
+            WHEN s_en = greatest(s_en, s_es, s_de) THEN 'en'
+            WHEN s_es = greatest(s_en, s_es, s_de) THEN 'es'
+            ELSE 'de' END AS lang_guess
+FROM s
+"""
+
+ORACLES["doc_fingerprint"] = f"""
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                             '\\s+', ' ', 'g')) AS norm
+  FROM documents)
+SELECT {_H.format(x='norm')} AS fp, CAST(MIN(doc_id) AS BIGINT) AS rep_id,
+       count(*) AS n
+FROM n GROUP BY 1
+"""
+
+ORACLES["ann_cosine_threshold"] = """
+SELECT vec_id,
+       round(list_cosine_similarity(
+         embedding::DOUBLE[],
+         (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]), 4)
+         AS cos_sim
+FROM embeddings
+WHERE round(list_cosine_similarity(
+        embedding::DOUBLE[],
+        (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]), 4) >= 0.15
+"""
+
+ORACLES["ann_topk"] = """
+SELECT vec_id,
+       round(list_cosine_similarity(
+         embedding::DOUBLE[],
+         (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]), 4)
+         AS cos_sim
+FROM embeddings
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 20
+"""
+
+ORACLES["embedding_near_pairs"] = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 4) AS cos_sim
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]), 4) >= 0.3
+"""
+
+ORACLES["multimodal_binary_meta"] = """
+SELECT doc_id,
+       CAST(octet_length(text::BLOB) AS INTEGER) AS n_bytes,
+       sha256(text) AS sha,
+       substring(text, 1, 8) AS head
+FROM documents
+"""
+
+ORACLES["codec_roundtrip_docs"] = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+"""

@@ -1,0 +1,79 @@
+"""Text analysis expressions for training-data pipelines: token counting,
+quality scoring, language ID, document fingerprinting.
+
+All JVM-side built-in expressions (no Python UDFs) so they stay inside
+whole-stage codegen at 100 TB scale. Every formula is deliberately
+SQL-expressible so DuckDB oracles can verify it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny marker vocabularies for the n-gram/marker language heuristic
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "for", "was"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "se", "del", "las"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "von", "mit", "den", "zu"],
+}
+
+
+def portable_hash64(col: Column) -> Column:
+    """Deterministic 60-bit hash that DuckDB can reproduce exactly:
+    first 15 hex chars of md5 as a big-endian integer. The engine's
+    cross-system fingerprint (Supersonic's Fingerprint analogue —
+    reference: supersonic/expression/ext/hashing/hashing_expressions.h:28-35
+    — but portable instead of engine-internal)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization; empty/blank text -> empty array."""
+    trimmed = F.trim(col)
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")) \
+            .otherwise(F.split(trimmed, r"\s+"))
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def quality_score(col: Column) -> Column:
+    """Cheap quality heuristic in [0,1]: length band + alpha ratio +
+    mean token length band. Deterministic arithmetic only."""
+    n_chars = F.length(col)
+    n_alpha = F.length(F.regexp_replace(col, r"[^A-Za-z]", ""))
+    n_tok = token_count(col)
+    alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
+    mean_tok_len = F.when(n_tok > 0, n_chars / n_tok).otherwise(F.lit(0.0))
+    len_band = F.when((n_chars >= 20) & (n_chars <= 4000), F.lit(1.0)) \
+                .otherwise(F.lit(0.3))
+    tok_band = F.when((mean_tok_len >= 2.5) & (mean_tok_len <= 12.0),
+                      F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round((0.4 * len_band + 0.4 * alpha_ratio + 0.2 * tok_band), 4)
+
+
+def langid_expr(col: Column) -> Column:
+    """Marker-word language ID: the language whose marker set intersects
+    the text's token set most wins; ties and no-signal -> 'und'.
+    Set-intersection semantics match DuckDB's list_intersect."""
+    toks = F.array_distinct(tokens(F.lower(col)))
+    scores = {lang: F.size(F.array_intersect(
+        toks, F.array(*[F.lit(m) for m in markers])))
+        for lang, markers in LANG_MARKERS.items()}
+    best_score = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # deterministic priority order on ties: de < es < en evaluated last wins
+    for lang in ["de", "es", "en"]:
+        expr = F.when(scores[lang] == best_score, F.lit(lang)).otherwise(expr)
+    return F.when(best_score <= 0, F.lit("und")).otherwise(expr)
+
+
+def doc_fingerprint(col: Column) -> Column:
+    """Normalized-content fingerprint: lowercase, strip non-alphanumerics,
+    collapse whitespace, then portable 60-bit hash — catches
+    formatting-only near-duplicates."""
+    norm = F.regexp_replace(F.lower(col), r"[^a-z0-9 ]", " ")
+    norm = F.trim(F.regexp_replace(norm, r"\s+", " "))
+    return portable_hash64(norm)

@@ -1,0 +1,136 @@
+"""Deduplication primitives for training-data pipelines: exact,
+MinHash+LSH, SimHash, n-gram Jaccard.
+
+Plans are pure DataFrame compositions (explode/groupBy/join) so Catalyst
+distributes them; hashing uses the portable md5-derived 60-bit hash so
+DuckDB oracles can verify MinHash and Jaccard results exactly.
+
+Scale notes (100 TB): exact dedup is one hash-shuffle; MinHash is
+explode(k×shingles) -> partial-agg min per (doc, i) — shuffle size is
+k rows per doc, not k×shingles; LSH banding turns near-dup search into
+an equi join on (band, band_hash), which AQE can skew-split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .analysis import portable_hash64, tokens
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact duplicate groups by full-content hash: representative id
+    (min), duplicate count. One shuffle on the 60-bit content hash."""
+    h = portable_hash64(F.col(text_col)).alias("content_hash")
+    return (df.select(h, F.col(id_col))
+              .groupBy("content_hash")
+              .agg(F.min(id_col).alias("rep_id"),
+                   F.count("*").alias("n_dups")))
+
+
+def word_ngrams(col: Column, n: int) -> Column:
+    """Distinct word n-gram shingles of the text."""
+    toks = tokens(col)
+    if n == 1:
+        return F.array_distinct(toks)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(toks) - n),
+                    lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def minhash_signature(df: DataFrame, text_col: str, id_col: str,
+                      k: int = 16, shingle_n: int = 2) -> DataFrame:
+    """MinHash signatures: for each of k hash functions, the minimum
+    portable hash of (shingle || '#' || i) over the doc's shingle set.
+    Output: (id, i, minhash) — long form so the oracle SQL stays flat."""
+    shingled = df.select(
+        F.col(id_col),
+        F.explode(word_ngrams(F.col(text_col), shingle_n)).alias("shingle"))
+    hashed = (shingled
+              .select(F.col(id_col), F.col("shingle"),
+                      F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"))
+              .withColumn("h", portable_hash64(
+                  F.concat_ws("#", F.col("shingle"),
+                              F.col("i").cast("string")))))
+    return (hashed.groupBy(id_col, "i")
+                  .agg(F.min("h").alias("minhash")))
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
+                      k: int = 16, bands: int = 4,
+                      shingle_n: int = 2) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding: docs agreeing on
+    all rows of any band become candidates. Returns (id_a, id_b, n_bands)
+    with id_a < id_b."""
+    rows_per_band = k // bands
+    sig = minhash_signature(df, text_col, id_col, k, shingle_n)
+    banded = (sig.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
+                 .groupBy(id_col, "band")
+                 .agg(F.concat_ws(",", F.sort_array(
+                     F.collect_list(F.concat_ws(":", F.col("i").cast("string"),
+                                                F.col("minhash").cast("string")))))
+                      .alias("band_key")))
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    return (a.join(b, ["band", "band_key"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count("*").alias("n_bands")))
+
+
+def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash over word shingles: per bit, majority vote of the
+    shingle hashes' bits. Pure explode/groupBy — no per-row Python."""
+    shingled = df.select(
+        F.col(id_col),
+        F.explode(word_ngrams(F.col(text_col), 1)).alias("tok"))
+    h = shingled.withColumn("h", portable_hash64(F.col("tok")))
+    bits = h.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(59))).alias("bit"),
+        F.col("h"))
+    votes = (bits.withColumn(
+                "vote", F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1))
+                 .groupBy(id_col, "bit")
+                 .agg(F.sum("vote").alias("v")))
+    return (votes.withColumn(
+                "bitval", F.when(F.col("v") > 0,
+                                 F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+                           .otherwise(F.lit(0).cast("long")))
+                 .groupBy(id_col)
+                 .agg(F.sum("bitval").alias("simhash")))
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
+                        group_col: str | None = None, n: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs above threshold.
+    |A∩B| via explode+join+count; |A∪B| = |A|+|B|-|A∩B|.
+    If group_col given, only pairs within the same group are compared
+    (blocking — at scale, always block)."""
+    grams = df.select(
+        F.col(id_col),
+        *([F.col(group_col)] if group_col else []),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("g"))
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("sz"))
+    join_keys = ["g"] + ([group_col] if group_col else [])
+    a = grams.select(*[F.col(c) for c in join_keys],
+                     F.col(id_col).alias("id_a"))
+    b = grams.select(*[F.col(c) for c in join_keys],
+                     F.col(id_col).alias("id_b"))
+    inter = (a.join(b, join_keys)
+              .filter(F.col("id_a") < F.col("id_b"))
+              .groupBy("id_a", "id_b")
+              .agg(F.count("*").alias("inter")))
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (inter.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("jaccard",
+                        F.round(F.col("inter")
+                                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
