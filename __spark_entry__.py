@@ -574,6 +574,8 @@ def q_codec_roundtrip_docs(spark, sf):
     import pyarrow as pa
 
     def rt(batches):
+        from supersonic_spark.runtime import pin_worker_threads
+        pin_worker_threads()
         from supersonic_spark.codecs import encode_block, decode_block
         from supersonic_spark.selector import choose_codecs
         for batch in batches:
@@ -592,6 +594,8 @@ def q_codec_selection_report(spark, sf):
     import pyarrow as pa
 
     def report(batches):
+        from supersonic_spark.runtime import pin_worker_threads
+        pin_worker_threads()
         from supersonic_spark.selector import choose_codecs
         for batch in batches:
             tbl = pa.Table.from_batches([batch])

@@ -180,6 +180,8 @@ def generate_transcripts(spark, n_convs: int, seed: int = 42,
     ])
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from .runtime import pin_worker_threads
+        pin_worker_threads()
         for batch in batches:
             idx = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
             tbl = generate_conv_batch(idx, seed, mega_every, mega_len)

@@ -79,6 +79,8 @@ def _encoder(out_dir: str, cfg_hash: str, overrides: dict[str, str],
     """mapInArrow kernel: encode this partition's rows into one block file."""
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from .runtime import pin_worker_threads
+        pin_worker_threads()
         from pyspark import TaskContext
         pid = TaskContext.get().partitionId()
         ckpt_dir = os.path.join(out_dir, "checkpoints")
@@ -250,6 +252,8 @@ def decode_table(spark: SparkSession, out_dir: str) -> DataFrame:
              if os.path.isdir(blk_dir) else [])
 
     def decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from .runtime import pin_worker_threads
+        pin_worker_threads()
         for batch in batches:
             for path in batch.column(0).to_pylist():
                 with open(path, "rb") as f:

@@ -22,6 +22,11 @@ def get_spark(cores: int | None = None,
     (file_io.cc:71, cursor.h:133), sized larger because Arrow transfer
     amortizes better at 64k.
     """
+    # local-mode Python workers inherit the driver env: pin per-worker BLAS
+    # threads to 1 so N workers don't run N*cpu_count() threads (see runtime.py)
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
+                "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     if shuffle_partitions is None:

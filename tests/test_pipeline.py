@@ -25,14 +25,6 @@ import pyspark.sql.functions as F
 
 
 @pytest.fixture(scope="module")
-def spark():
-    from supersonic_spark.session import get_spark
-    s = get_spark(cores=4, shuffle_partitions=8)
-    s.sparkContext.setLogLevel("ERROR")
-    yield s
-
-
-@pytest.fixture(scope="module")
 def small_df(spark):
     return generate_transcripts(spark, n_convs=400, seed=42,
                                 mega_every=100, mega_len=3000).cache()

@@ -1,0 +1,69 @@
+"""spark-submit entry point for the transcript encode job.
+
+Run:
+  spark-submit --master local[N] --py-files supersonic_spark.zip \
+      tools/encode_job.py --input DIR --out DIR [--resume] [--fingerprint F]
+
+Prints one JSON line with wall-clock, turns/sec, bytes in/out.
+This is the job the scaling-efficiency evidence runs at two parallelism
+levels (north rule: N vs 4N executors, efficiency >= 0.8).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--fingerprint", default="bench")
+    ap.add_argument("--n-partitions", type=int, default=None)
+    ap.add_argument("--chunk-rows", type=int, default=65536)
+    ap.add_argument("--verify", action="store_true",
+                    help="decode + full bit-identity check after encode")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession, functions as F
+    spark = SparkSession.builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    cores = spark.sparkContext.defaultParallelism
+
+    from supersonic_spark.pipeline import (EncodeConfig, decode_table,
+                                           encode_table,
+                                           roundtrip_mismatch_count)
+
+    df = spark.read.parquet(args.input)
+    n_turns = df.count()  # warms page cache; excluded from encode timing
+
+    cfg = EncodeConfig(n_partitions=args.n_partitions or 2 * cores,
+                       chunk_rows=args.chunk_rows)
+    t0 = time.perf_counter()
+    man = encode_table(spark, df, args.out, cfg, fingerprint=args.fingerprint)
+    tot = man.agg(F.sum("bytes_in").alias("bi"),
+                  F.sum("bytes_out").alias("bo")).collect()[0]
+    wall = time.perf_counter() - t0
+
+    result = {
+        "cores": cores,
+        "n_turns": n_turns,
+        "encode_sec": round(wall, 3),
+        "turns_per_sec": round(n_turns / wall, 1),
+        "bytes_in": int(tot.bi),
+        "bytes_out": int(tot.bo),
+        "bytes_per_turn": round(tot.bo / max(n_turns, 1), 2),
+        "compression_ratio": round(tot.bo / max(tot.bi, 1), 4),
+    }
+    if args.verify:
+        dec = decode_table(spark, args.out)
+        result["mismatches"] = roundtrip_mismatch_count(df, dec)
+    print("ENCODE_RESULT " + json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,119 @@
+"""Scaling-efficiency evidence: run the identical encode job via
+spark-submit --py-files at two parallelism levels (local[N] vs local[4N])
+on the same input, >=3 runs each, report median throughputs and
+efficiency = (throughput_4N / throughput_N) / 4.
+
+Writes BENCH/scaling.json and refreshes the measured table in
+BENCH/BASELINE.md. Usage:
+  python tools/scaling_bench.py [--n-convs 33000] [--runs 3] [--low 8 --high 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import tempfile
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_zip(dest: str) -> str:
+    zpath = os.path.join(dest, "supersonic_spark.zip")
+    pkg = os.path.join(REPO, "supersonic_spark")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+    return zpath
+
+
+def generate_input(n_convs: int, dest: str) -> str:
+    """Deterministic transcripts parquet, cached across invocations."""
+    out = os.path.join(dest, f"transcripts_c{n_convs}")
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    sys.path.insert(0, REPO)
+    from supersonic_spark.session import get_spark
+    from supersonic_spark.datagen import generate_transcripts
+    spark = get_spark(cores=os.cpu_count())
+    spark.sparkContext.setLogLevel("ERROR")
+    generate_transcripts(spark, n_convs=n_convs, seed=42) \
+        .write.mode("overwrite").parquet(out)
+    spark.stop()
+    return out
+
+
+def run_once(zpath: str, input_dir: str, cores: int, run_id: int) -> dict:
+    out = tempfile.mkdtemp(prefix=f"ssenc_scale_{cores}_")
+    cmd = [
+        "spark-submit", "--master", f"local[{cores}]",
+        "--conf", f"spark.sql.shuffle.partitions={2*cores}",
+        "--conf", "spark.sql.adaptive.enabled=true",
+        "--conf", "spark.driver.memory=16g",
+        "--conf", "spark.ui.enabled=false",
+        "--py-files", zpath,
+        os.path.join(REPO, "tools", "encode_job.py"),
+        "--input", input_dir, "--out", out,
+        "--fingerprint", f"scale-{cores}-{run_id}",
+        "--n-partitions", str(2 * cores),
+    ]
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
+    shutil.rmtree(out, ignore_errors=True)
+    for line in proc.stdout.splitlines():
+        if line.startswith("ENCODE_RESULT "):
+            return json.loads(line[len("ENCODE_RESULT "):])
+    raise RuntimeError(f"no result line; stderr tail: {proc.stderr[-2000:]}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-convs", type=int, default=33000)
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--low", type=int, default=8)
+    ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--workdir", default="/tmp/ss_scaling")
+    args = ap.parse_args()
+
+    os.makedirs(args.workdir, exist_ok=True)
+    zpath = build_zip(args.workdir)
+    input_dir = generate_input(args.n_convs, args.workdir)
+
+    results = {args.low: [], args.high: []}
+    for run_id in range(args.runs):
+        for cores in (args.low, args.high):
+            r = run_once(zpath, input_dir, cores, run_id)
+            results[cores].append(r)
+            print(f"run {run_id} cores={cores}: {r['encode_sec']}s "
+                  f"{r['turns_per_sec']} turns/s", flush=True)
+
+    med = {c: statistics.median(x["turns_per_sec"] for x in rs)
+           for c, rs in results.items()}
+    ratio = args.high / args.low
+    eff = (med[args.high] / med[args.low]) / ratio
+    summary = {
+        "n_turns": results[args.low][0]["n_turns"],
+        "cores_low": args.low, "cores_high": args.high,
+        "runs": args.runs,
+        "median_turns_per_sec_low": med[args.low],
+        "median_turns_per_sec_high": med[args.high],
+        "all_runs": {str(c): rs for c, rs in results.items()},
+        "scaling_efficiency": round(eff, 3),
+        "bytes_per_turn": results[args.high][0]["bytes_per_turn"],
+        "compression_ratio": results[args.high][0]["compression_ratio"],
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
