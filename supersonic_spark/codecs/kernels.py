@@ -31,23 +31,23 @@ _I64 = struct.Struct("<q")
 # --- type codes -------------------------------------------------------------
 
 T_INT32, T_INT64, T_FLOAT32, T_FLOAT64, T_BOOL = 3, 4, 5, 6, 7
-T_STRING, T_BINARY, T_TIMESTAMP_US, T_DATE32 = 8, 9, 10, 11
+T_STRING, T_BINARY, T_TIMESTAMP_US, T_DATE32, T_TIMESTAMP_NS = 8, 9, 10, 11, 12
 
 _NUMPY_OF = {
     T_INT32: np.dtype("<i4"), T_INT64: np.dtype("<i8"),
     T_FLOAT32: np.dtype("<f4"), T_FLOAT64: np.dtype("<f8"),
     T_BOOL: np.dtype("?"), T_TIMESTAMP_US: np.dtype("<i8"),
-    T_DATE32: np.dtype("<i4"),
+    T_DATE32: np.dtype("<i4"), T_TIMESTAMP_NS: np.dtype("<i8"),
 }
 
 _PA_OF = {
     T_INT32: pa.int32(), T_INT64: pa.int64(), T_FLOAT32: pa.float32(),
     T_FLOAT64: pa.float64(), T_BOOL: pa.bool_(), T_STRING: pa.string(),
     T_BINARY: pa.binary(), T_TIMESTAMP_US: pa.timestamp("us"),
-    T_DATE32: pa.date32(),
+    T_DATE32: pa.date32(), T_TIMESTAMP_NS: pa.timestamp("ns"),
 }
 
-INT_TYPECODES = {T_INT32, T_INT64, T_TIMESTAMP_US, T_DATE32}
+INT_TYPECODES = {T_INT32, T_INT64, T_TIMESTAMP_US, T_DATE32, T_TIMESTAMP_NS}
 VARLEN_TYPECODES = {T_STRING, T_BINARY}
 
 
@@ -67,9 +67,11 @@ def typecode_of(typ: pa.DataType) -> int:
     if pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
         return T_BINARY
     if pa.types.is_timestamp(typ):
-        if typ.unit != "us":
-            raise ValueError(f"only timestamp[us] supported, got {typ}")
-        return T_TIMESTAMP_US
+        if typ.unit == "us":
+            return T_TIMESTAMP_US
+        if typ.unit == "ns":
+            return T_TIMESTAMP_NS
+        raise ValueError(f"only timestamp[us]/[ns] supported, got {typ}")
     if pa.types.is_date32(typ):
         return T_DATE32
     raise ValueError(f"unsupported arrow type for codecs: {typ}")
@@ -77,7 +79,7 @@ def typecode_of(typ: pa.DataType) -> int:
 
 def _as_numpy(arr: pa.Array, typecode: int) -> np.ndarray:
     """Dense fixed-width arrow array -> little-endian numpy view."""
-    if typecode == T_TIMESTAMP_US:
+    if typecode in (T_TIMESTAMP_US, T_TIMESTAMP_NS):
         arr = arr.cast(pa.int64())
     elif typecode == T_DATE32:
         arr = arr.cast(pa.int32())
@@ -86,8 +88,9 @@ def _as_numpy(arr: pa.Array, typecode: int) -> np.ndarray:
 
 
 def _from_numpy(vals: np.ndarray, typecode: int) -> pa.Array:
-    if typecode == T_TIMESTAMP_US:
-        return pa.array(vals.astype("<i8"), type=pa.int64()).cast(pa.timestamp("us"))
+    if typecode in (T_TIMESTAMP_US, T_TIMESTAMP_NS):
+        unit = "us" if typecode == T_TIMESTAMP_US else "ns"
+        return pa.array(vals.astype("<i8"), type=pa.int64()).cast(pa.timestamp(unit))
     if typecode == T_DATE32:
         return pa.array(vals.astype("<i4"), type=pa.int32()).cast(pa.date32())
     return pa.array(vals.astype(_NUMPY_OF[typecode], copy=False), type=_PA_OF[typecode])

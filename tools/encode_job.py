@@ -26,6 +26,9 @@ def main():
     ap.add_argument("--chunk-rows", type=int, default=65536)
     ap.add_argument("--verify", action="store_true",
                     help="decode + full bit-identity check after encode")
+    ap.add_argument("--warmup", action="store_true",
+                    help="run one throwaway encode first (warm workers/JIT; "
+                         "measures steady-state as on long-running executors)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession, functions as F
@@ -42,6 +45,12 @@ def main():
 
     cfg = EncodeConfig(n_partitions=args.n_partitions or 2 * cores,
                        chunk_rows=args.chunk_rows)
+    if args.warmup:
+        import shutil
+        import tempfile
+        wdir = tempfile.mkdtemp(prefix="ssenc_warm_")
+        encode_table(spark, df, wdir, cfg, fingerprint="warmup")
+        shutil.rmtree(wdir, ignore_errors=True)
     t0 = time.perf_counter()
     man = encode_table(spark, df, args.out, cfg, fingerprint=args.fingerprint)
     tot = man.agg(F.sum("bytes_in").alias("bi"),

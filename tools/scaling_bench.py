@@ -64,6 +64,7 @@ def run_once(zpath: str, input_dir: str, cores: int, run_id: int) -> dict:
         "--input", input_dir, "--out", out,
         "--fingerprint", f"scale-{cores}-{run_id}",
         "--n-partitions", str(2 * cores),
+        "--warmup",
     ]
     proc = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
     shutil.rmtree(out, ignore_errors=True)
