@@ -52,8 +52,15 @@ def generate_input(n_convs: int, dest: str) -> str:
 
 
 def run_once(zpath: str, input_dir: str, cores: int, run_id: int) -> dict:
+    """One spark-submit encode run confined to exactly `cores` CPUs.
+
+    taskset pinning is what makes single-box cluster-size emulation honest:
+    an unpinned local[2] JVM leaks GC/shuffle/IO threads onto free cores
+    (~2.7 effective CPUs measured), deflating apparent scaling efficiency.
+    """
     out = tempfile.mkdtemp(prefix=f"ssenc_scale_{cores}_")
     cmd = [
+        "taskset", "-c", f"0-{cores - 1}",
         "spark-submit", "--master", f"local[{cores}]",
         "--conf", f"spark.sql.shuffle.partitions={2*cores}",
         "--conf", "spark.sql.adaptive.enabled=true",
