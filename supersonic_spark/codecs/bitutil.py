@@ -31,11 +31,21 @@ def pack_uints(vals: np.ndarray, width: int) -> bytes:
     """
     if width == 0 or len(vals) == 0:
         return b""
-    vals = np.ascontiguousarray(vals, dtype=np.uint64)
+    # work in the smallest unsigned dtype that fits `width` — the per-bit
+    # shift temporaries dominate memory traffic at chunk scale
+    if width <= 8:
+        work = np.uint8
+    elif width <= 16:
+        work = np.uint16
+    elif width <= 32:
+        work = np.uint32
+    else:
+        work = np.uint64
+    vals = np.ascontiguousarray(vals).astype(work, copy=False)
     n = len(vals)
     bits = np.empty((n, width), dtype=np.uint8)
     for j in range(width):
-        shift = np.uint64(width - 1 - j)
+        shift = work(width - 1 - j)
         np.bitwise_and((vals >> shift).astype(np.uint8, copy=False),
                        np.uint8(1), out=bits[:, j])
     return np.packbits(bits.reshape(-1)).tobytes()
@@ -67,18 +77,27 @@ def zigzag_decode(vals: np.ndarray) -> np.ndarray:
 
 
 def pack_ints_block(vals: np.ndarray) -> bytes:
-    """Self-describing FOR + bit-pack block for an int64 array.
+    """Self-describing FOR + bit-pack block for an integer array.
 
     Layout: [i64 ref][u64 n][u8 width][packed bits]. Used internally by
-    dict/rle/fsst payloads for index and length arrays.
+    dict/rle/fsst/tokdict payloads for index and length arrays. Keeps the
+    input's narrow dtype through the subtraction when the range allows —
+    int64 promotion of multi-million-token index arrays was a top
+    memory-bandwidth consumer.
     """
-    v = np.ascontiguousarray(vals, dtype=np.int64)
+    v = np.ascontiguousarray(vals)
     n = len(v)
     if n == 0:
         return _I64.pack(0) + _U64.pack(0) + b"\x00"
     ref = int(v.min())
-    deltas = (v.astype(np.int64) - ref).view(np.uint64)
-    width = bit_width(int(deltas.max()))
+    value_range = int(v.max()) - ref
+    width = bit_width(value_range)
+    if v.dtype == np.int32 and value_range < 2**31:
+        deltas = (v - np.int32(ref)).view(np.uint32)
+    elif v.dtype == np.int64:
+        deltas = (v - np.int64(ref)).view(np.uint64)
+    else:
+        deltas = (v.astype(np.int64) - ref).view(np.uint64)
     return _I64.pack(ref) + _U64.pack(n) + bytes([width]) + pack_uints(deltas, width)
 
 

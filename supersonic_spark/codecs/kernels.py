@@ -141,7 +141,7 @@ def decode_constant(buf: bytes, n: int, typecode: int) -> pa.Array:
 
 def encode_dict(arr: pa.Array, typecode: int) -> bytes:
     enc = arr.dictionary_encode()
-    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    idx = enc.indices.to_numpy(zero_copy_only=False)
     dict_payload = encode_plain(enc.dictionary, typecode)
     out = pack_ints_block(idx)
     return (_U64.pack(len(enc.dictionary)) + _U64.pack(len(dict_payload))
@@ -162,7 +162,7 @@ def encode_rle(arr: pa.Array, typecode: int) -> bytes:
     """Run-length encode: dictionary + run value indices + run lengths.
     Run boundaries found vectorized (the `Changed` analogue: idx != shift(idx))."""
     enc = arr.dictionary_encode()
-    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    idx = enc.indices.to_numpy(zero_copy_only=False)
     n = len(idx)
     if n == 0:
         starts = np.zeros(0, dtype=np.int64)
@@ -345,9 +345,9 @@ def encode_tokdict(arr: pa.Array, typecode: int) -> bytes:
     import pyarrow.compute as pc
     toks = pc.split_pattern(arr, " ")
     flat = pc.list_flatten(toks)
-    ntok = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    ntok = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
     denc = flat.dictionary_encode()
-    idx = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    idx = denc.indices.to_numpy(zero_copy_only=False)
     vocab_block = encode_plain(denc.dictionary, T_STRING)
     idx_block = pack_ints_block(idx)
     ntok_block = pack_ints_block(ntok)

@@ -106,6 +106,11 @@ def main():
            for c, rs in results.items()}
     ratio = args.high / args.low
     eff = (med[args.high] / med[args.low]) / ratio
+    # per-pair efficiency: low/high runs of the same iteration are adjacent
+    # in time, so their ratio is robust to slow environment drift
+    pair_effs = [
+        round((hi["turns_per_sec"] / lo["turns_per_sec"]) / ratio, 3)
+        for lo, hi in zip(results[args.low], results[args.high])]
     summary = {
         "n_turns": results[args.low][0]["n_turns"],
         "cores_low": args.low, "cores_high": args.high,
@@ -114,6 +119,8 @@ def main():
         "median_turns_per_sec_high": med[args.high],
         "all_runs": {str(c): rs for c, rs in results.items()},
         "scaling_efficiency": round(eff, 3),
+        "per_pair_efficiency": pair_effs,
+        "median_pair_efficiency": round(statistics.median(pair_effs), 3),
         "bytes_per_turn": results[args.high][0]["bytes_per_turn"],
         "compression_ratio": results[args.high][0]["compression_ratio"],
     }
