@@ -478,6 +478,83 @@ def q_window_rank(spark, sf):
         F.lead("event_id").over(w).alias("next_id"))
 
 
+def q_asof_join(spark, sf):
+    # as-of join: latest signup value at-or-before each event (per user)
+    from supersonic_spark.operators.asof import as_of_join
+    ev = _t(spark, sf, "events")
+    left = ev.select("user_id", "ts", "event_id")
+    right = (ev.filter(F.col("event_type") == "signup")
+               .select("user_id", "ts", _cents(F.col("value")).alias("signup_cents")))
+    out = as_of_join(left, right, key="user_id", on="ts",
+                     value_cols=["signup_cents"])
+    return out.select("event_id", "signup_cents")
+
+
+def q_cube_agg(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+                 F.count("*").alias("n")))
+
+
+def q_rollup_agg(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (o.rollup("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").alias("n"),
+                 F.sum(_cents(F.col("o_totalprice"))).alias("sum_cents")))
+
+
+def q_expr_datetime2(spark, sf):
+    ev = _t(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        F.make_date(F.year("ts"), F.month("ts"), F.dayofmonth("ts"))
+        .alias("d_made"),
+        F.weekday("ts").alias("wd"),
+        F.dayofyear("ts").alias("doy"),
+        F.last_day("ts").alias("eom"),
+        F.date_trunc("month", F.col("ts")).alias("month_start"),
+        F.add_months(F.col("ts").cast("date"), 2).alias("plus2mo"),
+        (F.col("ts") + F.expr("INTERVAL 45 MINUTES")).alias("plus45m"))
+
+
+def q_expr_math2(spark, sf):
+    ev = _t(spark, sf, "events")
+    v = F.col("value")
+    return ev.select(
+        "event_id",
+        F.signum(v - 50).cast("int").alias("sgn"),
+        F.floor(v).cast("long").alias("trunc_v"),
+        F.greatest(v, F.lit(50.0)).alias("gst"),
+        F.least(v, F.lit(50.0)).alias("lst"),
+        F.isnan(v).alias("is_nan"),
+        F.round(F.atan2(v, F.lit(10.0)), 4).alias("at2"),
+        F.round(F.lit(3.141592653589793), 4).alias("pi4"))
+
+
+def q_jobspec_declarative(spark, sf):
+    # serialized-plan seam (BuildExpressionFromProto analogue)
+    from supersonic_spark.plans.jobspec import build_job
+    spec = {
+        "table": f"{sf}/orders.parquet",
+        "filter": "o_orderstatus = 'O'",
+        "compute": {"price_cents": "CAST(round(o_totalprice*100,0) AS BIGINT)"},
+        "group_by": ["o_orderpriority"],
+        "aggregations": {"n": "count(*)", "sum_cents": "sum(price_cents)"},
+        "sort": [{"column": "sum_cents", "order": "desc"}],
+        "limit": 3,
+    }
+    return build_job(spark, spec)
+
+
+def q_spy_observe(spark, sf):
+    # Spy wiretap analogue: observation rides the plan without changing it
+    from supersonic_spark.operators.spy import spy
+    li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") > 25)
+    wired, _obs = spy(li, "after_filter")
+    return wired.select("l_orderkey", "l_linenumber", "l_quantity")
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators (dedup / similarity / text analysis)
 # ---------------------------------------------------------------------------
@@ -665,6 +742,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stateful_running_min_flush": q_stateful_running_min_flush,
         "stateful_smudge_if": q_stateful_smudge_if,
         "window_rank": q_window_rank,
+        "asof_join": q_asof_join,
+        "cube_agg": q_cube_agg,
+        "rollup_agg": q_rollup_agg,
+        "expr_datetime2": q_expr_datetime2,
+        "expr_math2": q_expr_math2,
+        "jobspec_declarative": q_jobspec_declarative,
+        "spy_observe": q_spy_observe,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_simhash": q_dedup_simhash,

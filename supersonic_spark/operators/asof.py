@@ -1,0 +1,64 @@
+"""As-of join and range join — operators the reference lacks (SURVEY.md
+§2.3 notes no range/as-of joins) but a transcript/event engine needs.
+
+as_of_join: for each left row, the latest right row with
+right.on <= left.on within the same key — expressed as a union + window
+(last-non-null carry-forward) so it stays a sort-based distributed plan:
+one shuffle on (key), no per-row Python, no broadcast requirement.
+At 100 TB this beats the naive range-join (which explodes) and matches
+DuckDB's ASOF JOIN semantics for the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_of_join(left: DataFrame, right: DataFrame, key: str, on: str,
+               value_cols: list[str] | None = None) -> DataFrame:
+    """For each left row: columns of the most recent right row with
+    right[on] <= left[on], matching on `key`. Right columns are null when
+    nothing precedes. Ties on `on` prefer the right row (<=). If the right
+    side has duplicate (key, on) pairs, which duplicate wins is
+    unspecified — deduplicate the right side first when that matters."""
+    value_cols = value_cols or [c for c in right.columns
+                                if c not in (key, on)]
+    l_tag = left.select(
+        key, on, *[c for c in left.columns if c not in (key, on)],
+        F.lit(1).alias("_is_left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
+          for c in value_cols])
+    r_tag = right.select(
+        key, on,
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in (key, on)],
+        F.lit(0).alias("_is_left"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols])
+    unioned = l_tag.unionByName(r_tag)
+    # right rows sort before left rows at equal `on` so <= ties match
+    w = (Window.partitionBy(key)
+         .orderBy(F.col(on).asc(), F.col("_is_left").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    filled = unioned.select(
+        "*", *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_f_{c}")
+               for c in value_cols])
+    out = filled.filter(F.col("_is_left") == 1).drop(
+        "_is_left", *[f"_r_{c}" for c in value_cols])
+    for c in value_cols:
+        out = out.withColumnRenamed(f"_f_{c}", c)
+    return out
+
+
+def range_join(left: DataFrame, right: DataFrame, key: str,
+               left_point: str, right_lo: str, right_hi: str) -> DataFrame:
+    """left rows joined to right intervals containing their point value
+    (inclusive bounds). Declared as a plain theta join so Catalyst can pick
+    a broadcast-nested-loop for small right sides; for large right sides
+    callers should bucket by range (the 100 TB path)."""
+    return left.alias("l").join(
+        right.alias("r"),
+        F.expr(f"l.{key} = r.{key} AND "
+               f"l.{left_point} >= r.{right_lo} AND "
+               f"l.{left_point} <= r.{right_hi}"),
+        "inner")

@@ -198,6 +198,10 @@ def salted_repartition(df: DataFrame, cfg: EncodeConfig) -> DataFrame:
     partitions; everyone else keeps salt 0. Decode order is restored from
     (conv_id, turn_idx), never from partition order."""
     conv, order = cfg.conv_key, cfg.order_key
+    if order not in df.columns:
+        # no secondary order column -> skew salting unavailable; single key
+        return (df.repartition(cfg.n_partitions, F.col(conv))
+                  .sortWithinPartitions(*cfg.sort_keys))
     counts = df.groupBy(conv).count()
     skewed = counts.filter(F.col("count") > cfg.salt_threshold).select(conv)
     df2 = df.join(F.broadcast(skewed.withColumn("_skew", F.lit(True))),
@@ -219,6 +223,12 @@ def encode_table(spark: SparkSession, df: DataFrame, out_dir: str,
     """Encode df into block files under out_dir; returns the manifest DF
     (already persisted to out_dir/manifest as parquet)."""
     cfg = cfg or EncodeConfig()
+    missing = [c for c in (cfg.conv_key, *cfg.sort_keys)
+               if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"encode keys {missing} not in input columns {df.columns}; "
+            "set conv_key/sort_keys/order_key in EncodeConfig")
     os.makedirs(out_dir, exist_ok=True)
     cfg_hash = cfg.config_hash(fingerprint)
 

@@ -531,3 +531,63 @@ FROM documents
 ORACLES["codec_roundtrip_docs"] = """
 SELECT doc_id, text, lang, source, n_chars FROM documents
 """
+
+ORACLES["asof_join"] = """
+SELECT l.event_id, r.signup_cents
+FROM (SELECT user_id, ts, event_id FROM events) l
+ASOF LEFT JOIN (
+  SELECT user_id, ts, CAST(round(value*100,0) AS BIGINT) AS signup_cents
+  FROM events WHERE event_type = 'signup') r
+ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+ORACLES["cube_agg"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       count(*) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+ORACLES["rollup_agg"] = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       CAST(SUM(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+ORACLES["expr_datetime2"] = """
+SELECT event_id,
+       make_date(CAST(year(ts) AS INTEGER), CAST(month(ts) AS INTEGER),
+                 CAST(day(ts) AS INTEGER)) AS d_made,
+       CAST(isodow(ts) - 1 AS INTEGER) AS wd,
+       CAST(dayofyear(ts) AS INTEGER) AS doy,
+       last_day(CAST(ts AS DATE)) AS eom,
+       CAST(date_trunc('month', ts) AS TIMESTAMP) AS month_start,
+       CAST(CAST(ts AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2mo,
+       ts + INTERVAL 45 MINUTE AS plus45m
+FROM events
+"""
+
+ORACLES["expr_math2"] = """
+SELECT event_id,
+       CAST(sign(value - 50) AS INTEGER) AS sgn,
+       CAST(floor(value) AS BIGINT) AS trunc_v,
+       greatest(value, 50.0) AS gst,
+       least(value, 50.0) AS lst,
+       isnan(value) AS is_nan,
+       round(atan2(value, 10.0), 4) AS at2,
+       round(pi(), 4) AS pi4
+FROM events
+"""
+
+ORACLES["jobspec_declarative"] = """
+SELECT o_orderpriority, count(*) AS n,
+       CAST(SUM(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM orders WHERE o_orderstatus = 'O'
+GROUP BY o_orderpriority
+ORDER BY sum_cents DESC LIMIT 3
+"""
+
+ORACLES["spy_observe"] = """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+WHERE l_quantity > 25
+"""

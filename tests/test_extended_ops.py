@@ -1,0 +1,101 @@
+"""Tests for as-of/range joins, job-spec seam, spy, and the custom
+stateful streaming operator."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from supersonic_spark.operators.asof import as_of_join, range_join
+from supersonic_spark.operators.spy import spy
+from supersonic_spark.plans.jobspec import build_job
+
+
+def rows(df, *cols):
+    sel = df.select(*cols) if cols else df
+    return [tuple(r) for r in sel.collect()]
+
+
+def test_as_of_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 7, "d")],
+        "k int, t long, tag string")
+    right = spark.createDataFrame(
+        [(1, 10, 100), (1, 15, 150), (2, 99, 990)], "k int, t long, v int")
+    out = as_of_join(left, right, key="k", on="t", value_cols=["v"])
+    got = {r["tag"]: r["v"] for r in out.collect()}
+    assert got == {"a": 100,   # tie: <= includes equal ts
+                   "b": 150,   # latest preceding
+                   "c": None,  # nothing before -> left-outer null
+                   "d": None}  # right exists but only later
+
+
+def test_range_join(spark):
+    pts = spark.createDataFrame([(1, 5), (1, 25), (2, 5)], "k int, x int")
+    ivs = spark.createDataFrame([(1, 0, 10, "lo"), (1, 20, 30, "hi")],
+                                "k int, lo int, hi int, band string")
+    out = range_join(pts, ivs, "k", "x", "lo", "hi")
+    got = sorted((r["x"], r["band"]) for r in out.collect())
+    assert got == [(5, "lo"), (25, "hi")]
+
+
+def test_jobspec_build_and_errors(spark):
+    spec = {"table": "/root/testdata/sf0.001/orders.parquet",
+            "filter": "o_orderstatus = 'F'",
+            "group_by": ["o_orderpriority"],
+            "aggregations": {"n": "count(*)"},
+            "sort": [{"column": "n", "order": "desc"}], "limit": 2}
+    out = build_job(spark, spec)
+    assert out.count() == 2
+    with pytest.raises(ValueError, match="unknown job-spec keys"):
+        build_job(spark, {"table": "x", "bogus": 1})
+    with pytest.raises(ValueError, match="unknown columns"):
+        build_job(spark, {"table": "/root/testdata/sf0.001/orders.parquet",
+                          "columns": ["nope"]})
+
+
+def test_spy_observation(spark):
+    df = spark.createDataFrame([(i,) for i in range(10)], "i int")
+    wired, obs = spy(df.filter(F.col("i") >= 4), "tap",
+                     extra={"sum_i": F.sum("i")})
+    assert wired.count() == 6
+    assert obs.get["rows"] == 6 and obs.get["sum_i"] == 39
+
+
+def test_stateful_streaming_conv_stats(spark, tmp_path):
+    """State persists across micro-batches (maxFilesPerTrigger=1 makes
+    each input file its own batch)."""
+    from supersonic_spark.streaming.stateful import running_conv_stats
+    base = dt.datetime(2024, 1, 1)
+    batch1 = [("c1", 0, "system", base), ("c1", 1, "user", base.replace(minute=1))]
+    batch2 = [("c1", 2, "assistant", base.replace(minute=2)),
+              ("c2", 0, "system", base)]
+    schema = "conv_id string, turn_idx int, role string, ts timestamp"
+    src = tmp_path / "stream_src"
+    spark.createDataFrame(batch1, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(str(src / "f1"))
+    spark.createDataFrame(batch2, schema).coalesce(1) \
+        .write.mode("append").parquet(str(src / "f2"))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src) + "/*"))
+    out_dir = str(tmp_path / "out")
+    q = (running_conv_stats(stream).writeStream
+         .format("memory").queryName("conv_stats")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM conv_stats").collect()
+    # last update per conversation wins
+    final = {}
+    for r in got:
+        final[r["conv_id"]] = max(final.get(r["conv_id"], 0), r["n_turns"])
+    assert final["c1"] == 3, f"state did not accumulate: {got}"
+    assert final["c2"] == 1
+    by_conv = {r["conv_id"]: r for r in got if r["n_turns"] == final[r["conv_id"]]}
+    assert by_conv["c1"]["max_turn_idx"] == 2
+    assert by_conv["c1"]["last_role"] == "assistant"
