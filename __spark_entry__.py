@@ -559,6 +559,37 @@ def q_spy_observe(spark, sf):
 # training-data pipeline operators (dedup / similarity / text analysis)
 # ---------------------------------------------------------------------------
 
+def q_splitter_reuse(spark, sf):
+    # Splitter / shared-scan DAG (splitter.h:46-70): one input consumed by
+    # two readers -> in Spark, reference the same (cached) DataFrame twice;
+    # Catalyst reuses the exchange.
+    li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") > 10)
+    a = (li.groupBy("l_returnflag")
+           .agg(F.count("*").alias("n"))
+           .withColumn("branch", F.lit("by_flag"))
+           .withColumnRenamed("l_returnflag", "k"))
+    b = (li.groupBy("l_linestatus")
+           .agg(F.count("*").alias("n"))
+           .withColumn("branch", F.lit("by_status"))
+           .withColumnRenamed("l_linestatus", "k"))
+    return a.unionByName(b)
+
+
+def q_udaf_grouped(spark, sf):
+    # §2.9 UDAF surface: Arrow-batched pandas_udf GROUPED_AGG
+    from supersonic_spark.functions.udafs import weighted_avg_price
+    li = _t(spark, sf, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(weighted_avg_price(F.col("l_extendedprice"),
+                                    F.col("l_quantity")).alias("wavg_price")))
+
+
+def q_dedup_lsh_pairs(spark, sf):
+    from supersonic_spark.text.dedup import minhash_lsh_pairs
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return minhash_lsh_pairs(d, "text", "doc_id", k=8, bands=4, shingle_n=1)
+
+
 def q_dedup_exact(spark, sf):
     from supersonic_spark.text import exact_dedup
     return exact_dedup(_t(spark, sf, "documents"), "text", "doc_id")
@@ -749,6 +780,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expr_math2": q_expr_math2,
         "jobspec_declarative": q_jobspec_declarative,
         "spy_observe": q_spy_observe,
+        "splitter_reuse": q_splitter_reuse,
+        "udaf_grouped": q_udaf_grouped,
+        "dedup_lsh_pairs": q_dedup_lsh_pairs,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_simhash": q_dedup_simhash,

@@ -591,3 +591,41 @@ ORACLES["spy_observe"] = """
 SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
 WHERE l_quantity > 25
 """
+
+ORACLES["splitter_reuse"] = """
+WITH src AS (SELECT * FROM lineitem WHERE l_quantity > 10)
+SELECT l_returnflag AS k, count(*) AS n, 'by_flag' AS branch
+FROM src GROUP BY l_returnflag
+UNION ALL
+SELECT l_linestatus AS k, count(*) AS n, 'by_status' AS branch
+FROM src GROUP BY l_linestatus
+"""
+
+ORACLES["udaf_grouped"] = """
+SELECT l_returnflag,
+       round(SUM(CAST(round(l_extendedprice*100,0) AS BIGINT)
+                 * CAST(l_quantity AS BIGINT))
+             / SUM(CAST(l_quantity AS BIGINT)) / 100, 4) AS wavg_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+ORACLES["dedup_lsh_pairs"] = f"""
+WITH toks AS (
+  SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS t
+  FROM documents WHERE doc_id < 200),
+sh AS (
+  SELECT doc_id, unnest(t) AS shingle FROM toks),
+hashed AS (
+  SELECT doc_id, k.i AS i,
+         {_H.format(x="shingle || '#' || k.i")} AS h
+  FROM sh, UNNEST(generate_series(0, 7)) AS k(i)),
+sig AS (SELECT doc_id, i, MIN(h) AS minhash FROM hashed GROUP BY doc_id, i),
+banded AS (
+  SELECT doc_id, CAST(i // 2 AS INTEGER) AS band,
+         string_agg(i || ':' || minhash, ',' ORDER BY i) AS band_key
+  FROM sig GROUP BY doc_id, band)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_bands
+FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
