@@ -281,6 +281,64 @@ def decode_table(spark: SparkSession, out_dir: str) -> DataFrame:
                .mapInArrow(decode, schema=schema))
 
 
+def validate_blocks(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Integrity audit: recompute each chunk's crc32 from the block files
+    and compare against the lineage manifest. Returns a DataFrame of
+    (partition_id, chunk_id, ok, crc_actual, crc_expected); corrupt or
+    missing chunks have ok = false. Distributed: one task per block file."""
+    manifest = spark.read.parquet(os.path.join(out_dir, "manifest"))
+    expected = (manifest.select("partition_id", "chunk_id", "crc32")
+                .distinct())
+    blk_dir = os.path.join(out_dir, "blocks")
+    paths = (sorted(os.path.join(blk_dir, p) for p in os.listdir(blk_dir)
+                    if p.endswith(".ssb")) if os.path.isdir(blk_dir) else [])
+
+    def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from .runtime import pin_worker_threads
+        pin_worker_threads()
+        from .codecs.framing import _MAGIC_BLOCK, _U16, _U64
+        for batch in batches:
+            for path in batch.column(0).to_pylist():
+                pid = int(os.path.basename(path)[5:10])
+                with open(path, "rb") as f:
+                    buf = f.read()
+                off, chunk_id = 0, 0
+                pids, cids, crcs = [], [], []
+                while off < len(buf):
+                    if buf[off:off + 4] != _MAGIC_BLOCK:
+                        pids.append(pid); cids.append(chunk_id); crcs.append(-1)
+                        break
+                    n_cols = _U16.unpack_from(buf, off + 4)[0]
+                    pos = off + 14
+                    for _ in range(n_cols):
+                        nlen = _U16.unpack_from(buf, pos)[0]
+                        pos += 2 + nlen
+                        clen = _U64.unpack_from(buf, pos)[0]
+                        pos += 8 + clen
+                    pids.append(pid)
+                    cids.append(chunk_id)
+                    crcs.append(zlib.crc32(buf[off:pos]) & 0xFFFFFFFF)
+                    off = pos
+                    chunk_id += 1
+                yield pa.RecordBatch.from_pydict({
+                    "partition_id": pa.array(pids, pa.int32()),
+                    "chunk_id": pa.array(cids, pa.int32()),
+                    "crc_actual": pa.array(crcs, pa.int64()),
+                })
+
+    if not paths:
+        actual = spark.createDataFrame(
+            [], "partition_id int, chunk_id int, crc_actual long")
+    else:
+        pdf = spark.createDataFrame([(p,) for p in paths], "path string")
+        actual = pdf.repartition(len(paths), "path").mapInArrow(
+            scan, schema="partition_id int, chunk_id int, crc_actual long")
+    joined = expected.withColumnRenamed("crc32", "crc_expected") \
+        .join(actual, ["partition_id", "chunk_id"], "full_outer")
+    return joined.withColumn(
+        "ok", F.col("crc_actual").eqNullSafe(F.col("crc_expected")))
+
+
 def roundtrip_mismatch_count(src: DataFrame, decoded: DataFrame,
                              keys: tuple[str, ...] = ("conv_id", "turn_idx"),
                              value_col: str = "text") -> int:

@@ -137,3 +137,22 @@ def test_empty_input(spark, tmp_path):
     assert man.count() == 0
     dec = decode_table(spark, out)
     assert dec.count() == 0
+
+
+def test_validate_blocks_detects_corruption(spark, small_df, tmp_path):
+    from supersonic_spark.pipeline import validate_blocks
+    out = str(tmp_path / "enc6")
+    cfg = EncodeConfig(n_partitions=4, chunk_rows=4096,
+                       salt_threshold=1000, salt_block=512)
+    encode_table(spark, small_df, out, cfg, fingerprint="t6")
+    audit = validate_blocks(spark, out)
+    assert audit.filter(~F.col("ok")).count() == 0
+    # flip one byte mid-file -> that chunk (and likely the rest of the
+    # file's frame walk) must be flagged
+    blk = sorted(os.listdir(os.path.join(out, "blocks")))[0]
+    p = os.path.join(out, "blocks", blk)
+    data = bytearray(open(p, "rb").read())
+    data[len(data) // 2] ^= 0xFF
+    open(p, "wb").write(bytes(data))
+    bad = validate_blocks(spark, out).filter(~F.col("ok")).count()
+    assert bad >= 1
