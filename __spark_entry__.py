@@ -10,13 +10,47 @@ between engines.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# make `supersonic_spark` importable no matter how the driver loads this file
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+os.environ["PYTHONPATH"] = (_REPO + os.pathsep
+                            + os.environ.get("PYTHONPATH", "")).rstrip(os.pathsep)
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+_PYFILES_SENT: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship supersonic_spark to executors via addPyFile so mapInArrow
+    kernels unpickle even when the driver's PYTHONPATH lacks the repo."""
+    key = id(spark.sparkContext)
+    if key in _PYFILES_SENT:
+        return
+    import zipfile
+    zpath = os.path.join("/tmp", f"supersonic_spark_entry_{os.getpid()}.zip")
+    with zipfile.ZipFile(zpath, "w") as z:  # always fresh (code may change)
+        pkg = os.path.join(_REPO, "supersonic_spark")
+        for root, _d, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, _REPO))
+    try:
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:
+        pass  # already added or unsupported — worker imports fall back to PYTHONPATH
+    _PYFILES_SENT.add(key)
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ship_package(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
