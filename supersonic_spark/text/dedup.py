@@ -74,6 +74,10 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                      F.collect_list(F.concat_ws(":", F.col("i").cast("string"),
                                                 F.col("minhash").cast("string")))))
                       .alias("band_key")))
+    # the self-join consumes `banded` twice and Catalyst does not reuse the
+    # exchange across the two aliases — persist so the shingle/minhash
+    # pipeline (the expensive part at scale) computes once
+    banded = banded.persist()
     a = banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "band_key")
     return (a.join(b, ["band", "band_key"])
@@ -116,6 +120,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
         F.col(id_col),
         *([F.col(group_col)] if group_col else []),
         F.explode(word_ngrams(F.col(text_col), n)).alias("g"))
+    grams = grams.persist()  # consumed 3x (sizes + both join sides)
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("sz"))
     join_keys = ["g"] + ([group_col] if group_col else [])
     a = grams.select(*[F.col(c) for c in join_keys],

@@ -99,3 +99,46 @@ def test_stateful_streaming_conv_stats(spark, tmp_path):
     by_conv = {r["conv_id"]: r for r in got if r["n_turns"] == final[r["conv_id"]]}
     assert by_conv["c1"]["max_turn_idx"] == 2
     assert by_conv["c1"]["last_role"] == "assistant"
+
+
+def test_streaming_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode windowed agg with watermark: a row older than
+    (max event time - watermark) arriving in a later batch is dropped."""
+    import datetime as dt
+    from supersonic_spark.streaming import windowed_event_counts
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    schema = "ts timestamp, event_type string, value double"
+    src = tmp_path / "wm_src"
+    import time
+    # Spark filters late input against the PREVIOUS batch's watermark and
+    # evicts state with the updated one, so the late row must arrive two
+    # batches after the event-time advance to be provably dropped.
+    batches = [
+        [(base, "a", 1.0), (base.replace(minute=5), "a", 1.0)],  # window rows
+        [(base.replace(hour=2), "a", 1.0)],   # advance -> wm 01:30 next batch
+        [(base.replace(hour=3), "a", 1.0)],   # wm 01:30 now active for filter
+        [(base.replace(minute=1), "a", 1.0)],  # 89min late -> dropped
+    ]
+    for i, b in enumerate(batches):
+        spark.createDataFrame(b, schema).coalesce(1) \
+            .write.parquet(str(src / f"f{i}"))
+        time.sleep(1.5)  # file source orders batches by mtime
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src) + "/*"))
+    out = windowed_event_counts(stream, window="10 minutes",
+                                watermark="30 minutes")
+    q = (out.writeStream.format("memory").queryName("wm_counts")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "wm_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(r["win_start"], r["n"]) for r in
+           spark.sql("SELECT * FROM wm_counts").collect()}
+    # the first window finalized with 2 rows; the late row did not bump it
+    assert (base, 2) in got, f"expected finalized window with n=2, got {got}"
+    assert (base, 3) not in got
+    dropped = sum(p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+                  for p in q.recentProgress)
+    assert dropped >= 1, "late row was not dropped by the watermark"
