@@ -410,6 +410,18 @@ def q_expr_datetime(spark, sf):
         (F.col("ts") + F.expr("INTERVAL 30 DAYS")).alias("plus30d"))
 
 
+def q_expr_parse_datetime(spark, sf):
+    # ParseDateTime / DateFormat round-trip + quiet parse -> NULL
+    # (date_expressions.h:31-175, ParseStringQuiet analogue)
+    ev = _t(spark, sf, "events")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return ev.select(
+        "event_id",
+        F.to_timestamp(F.date_format("ts", fmt), fmt).alias("parsed_sec"),
+        F.date_format("ts", "yyyy/MM").alias("ym"),
+        F.expr("try_to_timestamp('not a date', 'yyyy-MM-dd')").alias("bad"))
+
+
 def q_expr_case_cast(spark, sf):
     o = _t(spark, sf, "orders")
     return o.select(
@@ -798,6 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expr_string": q_expr_string,
         "expr_regexp": q_expr_regexp,
         "expr_datetime": q_expr_datetime,
+        "expr_parse_datetime": q_expr_parse_datetime,
         "expr_case_cast": q_expr_case_cast,
         "expr_bitwise": q_expr_bitwise,
         "expr_hashing": q_expr_hashing,

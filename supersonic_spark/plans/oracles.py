@@ -629,3 +629,12 @@ FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
 WHERE a.doc_id < b.doc_id
 GROUP BY 1, 2
 """
+
+ORACLES["expr_parse_datetime"] = """
+SELECT event_id,
+       strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S')
+         AS parsed_sec,
+       strftime(ts, '%Y/%m') AS ym,
+       try_strptime('not a date', '%Y-%m-%d') AS bad
+FROM events
+"""
