@@ -142,3 +142,17 @@ def test_streaming_watermark_drops_late_data(spark, tmp_path):
     dropped = sum(p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
                   for p in q.recentProgress)
     assert dropped >= 1, "late row was not dropped by the watermark"
+
+
+def test_table_fingerprint_changes_with_content(spark, tmp_path):
+    from supersonic_spark.sources import table_fingerprint, load_table, write_table
+    p = str(tmp_path / "fp_tbl")
+    df = spark.createDataFrame([(1, "a")], "i int, s string")
+    write_table(df, p)
+    fp1 = table_fingerprint(spark, p)
+    assert load_table(spark, p).count() == 1
+    import time
+    time.sleep(1.1)  # mtime resolution
+    write_table(spark.createDataFrame([(2, "b")], "i int, s string"), p)
+    fp2 = table_fingerprint(spark, p)
+    assert fp1 != fp2, "fingerprint must change when the input changes"

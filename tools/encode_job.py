@@ -21,7 +21,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
     ap.add_argument("--out", required=True)
-    ap.add_argument("--fingerprint", default="bench")
+    ap.add_argument("--fingerprint", default="auto",
+                    help="'auto' derives the input snapshot fingerprint "
+                         "(changed input invalidates checkpoints)")
     ap.add_argument("--n-partitions", type=int, default=None)
     ap.add_argument("--chunk-rows", type=int, default=65536)
     ap.add_argument("--verify", action="store_true",
@@ -42,6 +44,10 @@ def main():
 
     df = spark.read.parquet(args.input)
     n_turns = df.count()  # warms page cache; excluded from encode timing
+
+    if args.fingerprint == "auto":
+        from supersonic_spark.sources import table_fingerprint
+        args.fingerprint = table_fingerprint(spark, args.input)
 
     cfg = EncodeConfig(n_partitions=args.n_partitions or 2 * cores,
                        chunk_rows=args.chunk_rows)
