@@ -705,6 +705,17 @@ def q_ann_topk(spark, sf):
     return cosine_topk(_t(spark, sf, "embeddings"), qvec, 20)
 
 
+def q_ann_ivf_topk(spark, sf):
+    # IVF with full probing == exact -> same oracle as brute force; this
+    # gates the coarse-quantizer assignment logic itself
+    import pyarrow.parquet as pq
+    from supersonic_spark.ann import ivf_topk, train_centroids
+    e = _t(spark, sf, "embeddings")
+    qvec = pq.read_table(f"{sf}/embeddings.parquet").column("embedding")[0].as_py()
+    cents = train_centroids(e, k=4)
+    return ivf_topk(e, qvec, 20, cents, n_probe=4)
+
+
 def q_embedding_near_pairs(spark, sf):
     from supersonic_spark.ann import pairwise_cosine_pairs
     e = _t(spark, sf, "embeddings")
@@ -840,6 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "ann_cosine_threshold": q_ann_cosine_threshold,
         "ann_topk": q_ann_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_pairs": q_embedding_near_pairs,
         "multimodal_binary_meta": q_multimodal_binary_meta,
         "codec_roundtrip_docs": q_codec_roundtrip_docs,

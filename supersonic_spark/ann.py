@@ -108,3 +108,55 @@ def _py_bucket(vec: list[float], n_planes: int) -> int:
         if acc > 0:
             bucket |= 1 << p
     return bucket
+
+
+# --- IVF (inverted-file) variant ------------------------------------------
+
+def ivf_assign(df: DataFrame, centroids: list[list[float]],
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Assign each vector to its nearest centroid (L2) — the coarse
+    quantizer of an IVF index. Centroid list is a plan literal (broadcast);
+    the argmin is a fold over per-centroid distance expressions, fully
+    JVM-side. At scale the output is written bucketed by `ivf_cell` so
+    probes read only matching buckets."""
+    v = F.col(vec_col).cast("array<double>")
+
+    def dist2(c: list[float]) -> Column:
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        d = F.zip_with(v, lit, lambda a, b: (a - b) * (a - b))
+        return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x)
+
+    best_cell = F.lit(0)
+    best_d = dist2(centroids[0])
+    for i, c in enumerate(centroids[1:], start=1):
+        d = dist2(c)
+        closer = d < best_d
+        best_cell = F.when(closer, F.lit(i)).otherwise(best_cell)
+        best_d = F.when(closer, d).otherwise(best_d)
+    return df.withColumn("ivf_cell", best_cell)
+
+
+def train_centroids(df: DataFrame, k: int, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> list[list[float]]:
+    """Deterministic coarse centroids: the k vectors with the smallest
+    portable hash of their id (a seeded sample, no iterative k-means —
+    adequate as an IVF coarse quantizer and fully reproducible)."""
+    from .text.analysis import portable_hash64
+    rows = (df.select(vec_col,
+                      portable_hash64(F.col(id_col).cast("string")).alias("h"))
+              .orderBy("h").limit(k).collect())
+    return [list(map(float, r[vec_col])) for r in rows]
+
+
+def ivf_topk(df: DataFrame, query: list[float], k: int,
+             centroids: list[list[float]], n_probe: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: score only vectors in the n_probe cells nearest
+    the query. Recall improves with n_probe; n_probe=len(centroids) is
+    exact."""
+    import math
+    dists = [(i, math.dist(query, c)) for i, c in enumerate(centroids)]
+    probe = {i for i, _ in sorted(dists, key=lambda t: t[1])[:n_probe]}
+    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    cand = assigned.filter(F.col("ivf_cell").isin(*probe)).drop("ivf_cell")
+    return cosine_topk(cand, query, k, id_col, vec_col)

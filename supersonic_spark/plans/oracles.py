@@ -638,3 +638,5 @@ SELECT event_id,
        try_strptime('not a date', '%Y-%m-%d') AS bad
 FROM events
 """
+
+ORACLES["ann_ivf_topk"] = ORACLES["ann_topk"]

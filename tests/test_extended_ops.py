@@ -156,3 +156,24 @@ def test_table_fingerprint_changes_with_content(spark, tmp_path):
     write_table(spark.createDataFrame([(2, "b")], "i int, s string"), p)
     fp2 = table_fingerprint(spark, p)
     assert fp1 != fp2, "fingerprint must change when the input changes"
+
+
+def test_ivf_topk_recall(spark):
+    """IVF with full probing is exact; with partial probing the query's
+    own cell always contains the query vector."""
+    import numpy as np
+    from supersonic_spark.ann import (cosine_topk, ivf_topk, train_centroids)
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(200, 8)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>")
+    cents = train_centroids(df, k=4)
+    assert len(cents) == 4 and len(cents[0]) == 8
+    q = [float(x) for x in vecs[17]]
+    exact = [r["vec_id"] for r in cosine_topk(df, q, 5).collect()]
+    approx_full = [r["vec_id"] for r in
+                   ivf_topk(df, q, 5, cents, n_probe=4).collect()]
+    assert approx_full == exact, "full-probe IVF must equal exact"
+    approx = [r["vec_id"] for r in ivf_topk(df, q, 5, cents, n_probe=2).collect()]
+    assert 17 in approx, "query's own vector must be found"
