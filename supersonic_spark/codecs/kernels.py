@@ -332,6 +332,49 @@ def decode_fsst(buf: bytes, n: int, typecode: int) -> pa.Array:
     return _string_array(lengths, data, typecode)
 
 
+# --- fixed-point float codec ----------------------------------------------
+
+_FP_SCALES = (1, 10, 100, 1000, 10000)
+
+
+def fixedpoint_scale(vals: np.ndarray) -> int | None:
+    """Smallest power-of-ten scale at which every float is an exact
+    fixed-point number (int64-representable), else None."""
+    if len(vals) == 0:
+        return 1
+    if not np.isfinite(vals).all():
+        return None
+    for scale in _FP_SCALES:
+        scaled = vals * scale
+        r = np.rint(scaled)
+        if np.abs(r).max() >= 2**62:
+            return None
+        if np.array_equal(r.astype(np.int64) / np.float64(scale),
+                          vals.astype(np.float64)):
+            return scale
+    return None
+
+
+def encode_fixedpoint(arr: pa.Array, typecode: int) -> bytes:
+    """Price-like floats as scaled integers + FOR/bit-pack. Raises when
+    the data is not exactly fixed-point — the selector verifies first."""
+    if typecode not in (T_FLOAT32, T_FLOAT64):
+        raise ValueError("fixedpoint requires float32/float64")
+    v = _as_numpy(arr, typecode).astype(np.float64)
+    scale = fixedpoint_scale(v)
+    if scale is None:
+        raise ValueError("data is not exact fixed-point; use plain")
+    ints = np.rint(v * scale).astype(np.int64)
+    return bytes([int(np.log10(scale))]) + pack_ints_block(ints)
+
+
+def decode_fixedpoint(buf: bytes, n: int, typecode: int) -> pa.Array:
+    scale = 10 ** buf[0]
+    ints, _ = unpack_ints_block(buf, 1)
+    vals = ints / np.float64(scale)
+    return _from_numpy(vals.astype(_NUMPY_OF[typecode]), typecode)
+
+
 # --- token-dictionary text codec ----------------------------------------------
 
 def encode_tokdict(arr: pa.Array, typecode: int) -> bytes:
@@ -379,18 +422,19 @@ def decode_tokdict(buf: bytes, n: int, typecode: int) -> pa.Array:
 CODEC_IDS = {
     "plain": 0, "constant": 1, "dict": 2, "rle": 3,
     "for_bitpack": 4, "delta_bitpack": 5, "fsst": 6, "tokdict": 7,
+    "fixedpoint": 8,
 }
 CODEC_NAMES = {v: k for k, v in CODEC_IDS.items()}
 
 _ENCODERS = {
     0: encode_plain, 1: encode_constant, 2: encode_dict, 3: encode_rle,
     4: encode_for_bitpack, 5: encode_delta_bitpack, 6: encode_fsst,
-    7: encode_tokdict,
+    7: encode_tokdict, 8: encode_fixedpoint,
 }
 _DECODERS = {
     0: decode_plain, 1: decode_constant, 2: decode_dict, 3: decode_rle,
     4: decode_for_bitpack, 5: decode_delta_bitpack, 6: decode_fsst,
-    7: decode_tokdict,
+    7: decode_tokdict, 8: decode_fixedpoint,
 }
 
 

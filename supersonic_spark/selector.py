@@ -134,7 +134,14 @@ def choose_codec(arr: pa.Array | pa.ChunkedArray,
             return "fsst", st
         return "plain", st
 
-    # float/bool: no lightweight win implemented -> plain (rle if very runny)
+    # float: exact fixed-point (price-like) -> scaled-int bitpack
+    from .codecs.kernels import T_FLOAT32, T_FLOAT64, fixedpoint_scale
+    if typecode in (T_FLOAT32, T_FLOAT64):
+        import numpy as _np
+        v = dense.to_numpy(zero_copy_only=False).astype(_np.float64)
+        if fixedpoint_scale(v) is not None:
+            return "fixedpoint", st
+    # bool / non-fixed-point float: plain (rle if very runny)
     if st.mean_run_len >= 8.0:
         return "rle", st
     return "plain", st

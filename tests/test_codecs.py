@@ -288,3 +288,37 @@ def test_selector_picks_tokdict_for_token_text():
     vals = [" ".join(vocab[j] for j in rng.integers(0, 200, size=25))
             for _ in range(2000)]
     assert choose_codec(pa.array(vals))[0] == "tokdict"
+
+
+# --- fixedpoint float codec ---------------------------------------------------
+
+def test_fixedpoint_roundtrip_and_size():
+    rng = np.random.default_rng(31)
+    vals = np.round(rng.uniform(0, 10000, 5000), 2)
+    arr = pa.array(vals, type=pa.float64())
+    buf = encode_column(arr, "fixedpoint")
+    assert len(buf) < 0.5 * 8 * 5000
+    assert_identical(decode_column(buf)[0], arr)
+    # with nulls
+    arr2 = pa.array([1.25, None, -3.5, 0.0], type=pa.float64())
+    assert_identical(roundtrip(arr2, "fixedpoint"), arr2)
+
+
+def test_fixedpoint_rejects_irregular_floats():
+    import pytest as _pytest
+    arr = pa.array([0.1234567891, 3.14159265], type=pa.float64())
+    with _pytest.raises(ValueError, match="not exact fixed-point"):
+        encode_column(arr, "fixedpoint")
+    arr_nan = pa.array([1.0, float("nan")], type=pa.float64())
+    with _pytest.raises(ValueError):
+        encode_column(arr_nan, "fixedpoint")
+
+
+def test_selector_picks_fixedpoint_for_prices():
+    rng = np.random.default_rng(33)
+    prices = pa.array(np.round(rng.uniform(1, 100, 3000), 2), type=pa.float64())
+    assert choose_codec(prices)[0] == "fixedpoint"
+    irregular = pa.array(rng.normal(size=3000), type=pa.float64())
+    assert choose_codec(irregular)[0] == "plain"
+    out, _ = decode_column(encode_column(prices, "fixedpoint"))
+    assert_identical(out, prices)
