@@ -550,6 +550,19 @@ def q_rollup_agg(spark, sf):
                  F.sum(_cents(F.col("o_totalprice"))).alias("sum_cents")))
 
 
+def q_grouping_sets(spark, sf):
+    # explicit GROUPING SETS (beyond the reference's plain GroupAggregate)
+    li = _t(spark, sf, "lineitem")
+    li.createOrReplaceTempView("li_gs")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               count(*) AS n
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)
+
+
 def q_expr_datetime2(spark, sf):
     ev = _t(spark, sf, "events")
     return ev.select(
@@ -834,6 +847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "cube_agg": q_cube_agg,
         "rollup_agg": q_rollup_agg,
+        "grouping_sets": q_grouping_sets,
         "expr_datetime2": q_expr_datetime2,
         "expr_math2": q_expr_math2,
         "jobspec_declarative": q_jobspec_declarative,

@@ -281,6 +281,23 @@ def decode_table(spark: SparkSession, out_dir: str) -> DataFrame:
                .mapInArrow(decode, schema=schema))
 
 
+def manifest_summary(manifest: DataFrame) -> DataFrame:
+    """Per-(partition, column) metrics rollup from the lineage manifest:
+    codec histogram, bytes in/out, rows, and encode throughput — the
+    engine's per-partition metrics surface (Spy/benchmark-listener
+    analogue, spy.h:36-57)."""
+    return (manifest.groupBy("partition_id", "column", "codec")
+            .agg(F.sum("n_rows").alias("rows"),
+                 F.sum("bytes_in").alias("bytes_in"),
+                 F.sum("bytes_out").alias("bytes_out"),
+                 F.sum("encode_sec").alias("encode_sec"))
+            .withColumn("rows_per_sec",
+                        F.when(F.col("encode_sec") > 0,
+                               F.round(F.col("rows") / F.col("encode_sec"), 1)))
+            .withColumn("ratio",
+                        F.round(F.col("bytes_out") / F.col("bytes_in"), 4)))
+
+
 def validate_blocks(spark: SparkSession, out_dir: str) -> DataFrame:
     """Integrity audit: recompute each chunk's crc32 from the block files
     and compare against the lineage manifest. Returns a DataFrame of

@@ -640,3 +640,11 @@ FROM events
 """
 
 ORACLES["ann_ivf_topk"] = ORACLES["ann_topk"]
+
+ORACLES["grouping_sets"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""

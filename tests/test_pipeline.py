@@ -156,3 +156,17 @@ def test_validate_blocks_detects_corruption(spark, small_df, tmp_path):
     open(p, "wb").write(bytes(data))
     bad = validate_blocks(spark, out).filter(~F.col("ok")).count()
     assert bad >= 1
+
+
+def test_manifest_summary(spark, small_df, tmp_path):
+    from supersonic_spark.pipeline import manifest_summary
+    out = str(tmp_path / "enc7")
+    cfg = EncodeConfig(n_partitions=4, chunk_rows=4096,
+                       salt_threshold=1000, salt_block=512)
+    man = encode_table(spark, small_df, out, cfg, fingerprint="t7")
+    s = manifest_summary(man)
+    rows = s.collect()
+    assert {r.column for r in rows} >= {"text", "conv_id", "ts"}
+    assert all(r.ratio is not None and r.bytes_out > 0 for r in rows)
+    text_rows = [r for r in rows if r.column == "text"]
+    assert all(r.ratio < 1.0 for r in text_rows)
