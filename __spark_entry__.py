@@ -550,6 +550,28 @@ def q_rollup_agg(spark, sf):
                  F.sum(_cents(F.col("o_totalprice"))).alias("sum_cents")))
 
 
+def q_topk_per_group(spark, sf):
+    # top-3 orders by price within each priority (rank-filter pattern)
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (o.withColumn("rk", F.row_number().over(w))
+             .filter(F.col("rk") <= 3)
+             .select("o_orderpriority", "o_orderkey",
+                     _cents(F.col("o_totalprice")).alias("price_cents"),
+                     "rk"))
+
+
+def q_percentiles(spark, sf):
+    # exact interpolated percentiles (reference has no percentile agg)
+    li = _t(spark, sf, "lineitem").withColumn(
+        "price_cents", _cents(F.col("l_extendedprice")))
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(F.expr("percentile(price_cents, 0.5)"), 4).alias("p50"),
+                 F.round(F.expr("percentile(price_cents, 0.9)"), 4).alias("p90"),
+                 F.round(F.expr("percentile(price_cents, 0.99)"), 4).alias("p99")))
+
+
 def q_grouping_sets(spark, sf):
     # explicit GROUPING SETS (beyond the reference's plain GroupAggregate)
     li = _t(spark, sf, "lineitem")
@@ -848,6 +870,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_agg": q_cube_agg,
         "rollup_agg": q_rollup_agg,
         "grouping_sets": q_grouping_sets,
+        "topk_per_group": q_topk_per_group,
+        "percentiles": q_percentiles,
         "expr_datetime2": q_expr_datetime2,
         "expr_math2": q_expr_math2,
         "jobspec_declarative": q_jobspec_declarative,

@@ -648,3 +648,23 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 """
+
+ORACLES["topk_per_group"] = """
+SELECT o_orderpriority, o_orderkey,
+       CAST(round(o_totalprice*100,0) AS BIGINT) AS price_cents,
+       CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders)
+WHERE rk <= 3
+"""
+
+ORACLES["percentiles"] = """
+SELECT l_returnflag,
+       round(quantile_cont(CAST(round(l_extendedprice*100,0) AS BIGINT), 0.5), 4) AS p50,
+       round(quantile_cont(CAST(round(l_extendedprice*100,0) AS BIGINT), 0.9), 4) AS p90,
+       round(quantile_cont(CAST(round(l_extendedprice*100,0) AS BIGINT), 0.99), 4) AS p99
+FROM lineitem GROUP BY l_returnflag
+"""
