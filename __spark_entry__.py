@@ -550,6 +550,20 @@ def q_rollup_agg(spark, sf):
                  F.sum(_cents(F.col("o_totalprice"))).alias("sum_cents")))
 
 
+def q_session_windows(spark, sf):
+    # event-time session windows (gap 10 min) — batch semantics of the
+    # streaming session_window operator
+    ev = _t(spark, sf, "events")
+    return (ev.groupBy(F.session_window("ts", "10 minutes").alias("sw"),
+                       F.col("user_id"))
+            .agg(F.count("*").alias("n"),
+                 F.sum(_cents(F.col("value"))).alias("sum_cents"))
+            .select("user_id",
+                    F.col("sw.start").alias("sess_start"),
+                    F.col("sw.end").alias("sess_end"),
+                    "n", "sum_cents"))
+
+
 def q_topk_per_group(spark, sf):
     # top-3 orders by price within each priority (rank-filter pattern)
     o = _t(spark, sf, "orders")
@@ -871,6 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_agg": q_rollup_agg,
         "grouping_sets": q_grouping_sets,
         "topk_per_group": q_topk_per_group,
+        "session_windows": q_session_windows,
         "percentiles": q_percentiles,
         "expr_datetime2": q_expr_datetime2,
         "expr_math2": q_expr_math2,

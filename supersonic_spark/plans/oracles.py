@@ -668,3 +668,22 @@ SELECT l_returnflag,
        round(quantile_cont(CAST(round(l_extendedprice*100,0) AS BIGINT), 0.99), 4) AS p99
 FROM lineitem GROUP BY l_returnflag
 """
+
+ORACLES["session_windows"] = """
+WITH marked AS (
+  SELECT user_id, ts, CAST(round(value*100,0) AS BIGINT) AS cents,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 10 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+sessions AS (
+  SELECT user_id, ts, cents,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM marked)
+SELECT user_id, MIN(ts) AS sess_start,
+       MAX(ts) + INTERVAL 10 MINUTE AS sess_end,
+       count(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM sessions GROUP BY user_id, sess_id
+"""
