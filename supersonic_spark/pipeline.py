@@ -105,6 +105,13 @@ def _encoder(out_dir: str, cfg_hash: str, overrides: dict[str, str],
         pending_rows = 0
         chunk_id = 0
 
+        # sticky per-column codec choice: the first chunk's selection is
+        # reused for later chunks of the same partition (sorted data is
+        # homogeneous) EXCEPT data-dependent codecs (constant, fixedpoint)
+        # which must re-validate per chunk
+        sticky: dict[str, str] = {}
+        _DATA_DEPENDENT = {"constant", "fixedpoint"}
+
         with open(tmp_path, "wb") as out:
             def flush(tbl: pa.Table):
                 nonlocal chunk_id
@@ -113,7 +120,14 @@ def _encoder(out_dir: str, cfg_hash: str, overrides: dict[str, str],
                     if chunk.num_rows == 0:
                         continue
                     t0 = time.perf_counter()
-                    codecs = choose_codecs(chunk, overrides)
+                    eff_overrides = dict(overrides)
+                    for name, codec in sticky.items():
+                        if name not in eff_overrides:
+                            eff_overrides[name] = codec
+                    codecs = choose_codecs(chunk, eff_overrides)
+                    for name, codec in codecs.items():
+                        if codec not in _DATA_DEPENDENT:
+                            sticky[name] = codec
                     buf = encode_block(chunk, codecs)
                     dt = time.perf_counter() - t0
                     out.write(buf)
