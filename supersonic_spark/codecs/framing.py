@@ -6,6 +6,12 @@ A column chunk frames as:
     [validity bitmap, ceil(n/8) bytes, iff flags&1]     (1 = valid, Arrow-style)
     [u64 payload_len][payload]
 
+When flags&2 the payload passed through an optional general-compression
+outer stage (Parquet-style encoding+compression layering) and reads as
+    [u8 backend_id][u64 raw_len][compressed bytes]
+The stage is only kept when it actually shrinks the payload (>=10%), so a
+frame is never worse than the bare codec; decode is self-describing.
+
 Nulls are compacted out before the codec runs (the codec sees only dense
 values) and scattered back on decode — the analogue of Supersonic's separate
 per-column is_null vectors (reference: supersonic/base/infrastructure/
@@ -34,9 +40,34 @@ _MAGIC_COL = b"SC"
 _MAGIC_BLOCK = b"SSBK"
 _VERSION = 1
 _FLAG_HAS_NULLS = 1
+_FLAG_ENTROPY = 2
+
+ENTROPY_IDS = {"lz4": 1, "zstd": 2, "gzip": 3}
+ENTROPY_NAMES = {v: k for k, v in ENTROPY_IDS.items()}
+_ENTROPY_MIN_BYTES = 256   # tiny payloads aren't worth a header + dict cost
+_ENTROPY_KEEP = 0.90       # keep the stage only if it removes >=10%
+_codec_cache: dict[str, "pa.Codec"] = {}
 
 
-def encode_column(arr: pa.Array | pa.ChunkedArray, codec: str) -> bytes:
+def _entropy_codec(name: str) -> "pa.Codec":
+    c = _codec_cache.get(name)
+    if c is None:
+        c = _codec_cache[name] = pa.Codec(name)
+    return c
+
+
+def entropy_compress(payload: bytes, entropy: str) -> bytes | None:
+    """Outer-stage compress; None when the stage doesn't pay for itself."""
+    if len(payload) < _ENTROPY_MIN_BYTES:
+        return None
+    comp = _entropy_codec(entropy).compress(payload, asbytes=True)
+    if len(comp) + 9 >= _ENTROPY_KEEP * len(payload):
+        return None
+    return bytes([ENTROPY_IDS[entropy]]) + _U64.pack(len(payload)) + comp
+
+
+def encode_column(arr: pa.Array | pa.ChunkedArray, codec: str,
+                  entropy: str | None = None) -> bytes:
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     typecode = typecode_of(arr.type)
@@ -54,6 +85,11 @@ def encode_column(arr: pa.Array | pa.ChunkedArray, codec: str) -> bytes:
     if codec == "constant" and len(dense) == 0:
         codec = "plain"
     payload = encode_values(dense, codec, typecode)
+    if entropy is not None:
+        staged = entropy_compress(payload, entropy)
+        if staged is not None:
+            flags |= _FLAG_ENTROPY
+            payload = staged
     head = (_MAGIC_COL + bytes([_VERSION, typecode, kernels.CODEC_IDS[codec], flags])
             + _U64.pack(n))
     return head + validity + _U64.pack(len(payload)) + payload
@@ -77,9 +113,14 @@ def decode_column(buf: bytes, offset: int = 0) -> tuple[pa.Array, int]:
         off += nbytes
     payload_len = _U64.unpack_from(buf, off)[0]
     off += 8
-    n_dense = n if valid is None else int(valid.sum())
-    dense = decode_values(buf[off:off + payload_len], n_dense, codec_id, typecode)
+    payload = buf[off:off + payload_len]
     off += payload_len
+    if flags & _FLAG_ENTROPY:
+        raw_len = _U64.unpack_from(payload, 1)[0]
+        payload = _entropy_codec(ENTROPY_NAMES[payload[0]]).decompress(
+            payload[9:], raw_len, asbytes=True)
+    n_dense = n if valid is None else int(valid.sum())
+    dense = decode_values(payload, n_dense, codec_id, typecode)
 
     if valid is None:
         return dense, off - offset
@@ -91,7 +132,8 @@ def decode_column(buf: bytes, offset: int = 0) -> tuple[pa.Array, int]:
     return scattered, off - offset
 
 
-def encode_block(batch: pa.RecordBatch | pa.Table, codecs: dict[str, str]) -> bytes:
+def encode_block(batch: pa.RecordBatch | pa.Table, codecs: dict[str, str],
+                 entropy: str | None = None) -> bytes:
     """Encode all columns of a row chunk; codecs maps column name -> codec."""
     names = batch.schema.names
     out = bytearray(_MAGIC_BLOCK)
@@ -99,7 +141,7 @@ def encode_block(batch: pa.RecordBatch | pa.Table, codecs: dict[str, str]) -> by
     out += _U64.pack(batch.num_rows)
     for name in names:
         col = batch.column(names.index(name)) if isinstance(batch, pa.RecordBatch) else batch.column(name)
-        frame = encode_column(col, codecs[name])
+        frame = encode_column(col, codecs[name], entropy=entropy)
         nb = name.encode("utf-8")
         out += _U16.pack(len(nb)) + nb + _U64.pack(len(frame)) + frame
     return bytes(out)
@@ -127,7 +169,8 @@ def decode_block(buf: bytes, offset: int = 0) -> tuple[pa.Table, int]:
 
 
 def block_codec_report(buf: bytes, offset: int = 0) -> dict[str, str]:
-    """Which codec each column of a block used (for lineage/manifest)."""
+    """Which codec each column of a block used (for lineage/manifest);
+    entropy-staged frames report as e.g. "tokdict+zstd"."""
     n_cols = _U16.unpack_from(buf, offset + 4)[0]
     off = offset + 14
     report = {}
@@ -138,6 +181,12 @@ def block_codec_report(buf: bytes, offset: int = 0) -> dict[str, str]:
         off += nlen
         clen = _U64.unpack_from(buf, off)[0]
         off += 8
-        report[name] = CODEC_NAMES[buf[off + 4]]
+        codec = CODEC_NAMES[buf[off + 4]]
+        flags = buf[off + 5]
+        if flags & _FLAG_ENTROPY:
+            n = _U64.unpack_from(buf, off + 6)[0]
+            pstart = off + 14 + ((n + 7) // 8 if flags & _FLAG_HAS_NULLS else 0) + 8
+            codec = f"{codec}+{ENTROPY_NAMES[buf[pstart]]}"
+        report[name] = codec
         off += clen
     return report

@@ -375,6 +375,60 @@ def decode_fixedpoint(buf: bytes, n: int, typecode: int) -> pa.Array:
     return _from_numpy(vals.astype(_NUMPY_OF[typecode]), typecode)
 
 
+# --- float byte-plane codecs ----------------------------------------------
+
+_FLOAT_UINT = {T_FLOAT32: np.dtype("<u4"), T_FLOAT64: np.dtype("<u8")}
+
+
+def _byte_planes(vals: np.ndarray) -> bytes:
+    """Byte-stream split: transpose an (n, itemsize) byte matrix so each byte
+    plane is contiguous (sign/exponent bytes cluster -> entropy-stage food).
+    Pure permutation: bit-exact for any payload incl. NaN/Inf/-0.0."""
+    n, w = len(vals), vals.dtype.itemsize
+    return np.ascontiguousarray(
+        vals.view(np.uint8).reshape(n, w).T).tobytes()
+
+
+def _unsplit_planes(buf: bytes, n: int, dtype: np.dtype) -> np.ndarray:
+    w = dtype.itemsize
+    planes = np.frombuffer(buf, dtype=np.uint8, count=n * w).reshape(w, n)
+    return np.ascontiguousarray(planes.T).view(dtype).ravel()
+
+
+def encode_bss(arr: pa.Array, typecode: int) -> bytes:
+    """Byte-stream split for floats (same layout idea as Parquet
+    BYTE_STREAM_SPLIT): same size as plain, but the entropy outer stage
+    compresses the clustered exponent planes far better."""
+    if typecode not in (T_FLOAT32, T_FLOAT64):
+        raise ValueError("bss requires float32/float64")
+    return _byte_planes(_as_numpy(arr, typecode).view(_FLOAT_UINT[typecode]))
+
+
+def decode_bss(buf: bytes, n: int, typecode: int) -> pa.Array:
+    dt = _FLOAT_UINT[typecode]
+    vals = _unsplit_planes(buf, n, dt).view(_NUMPY_OF[typecode])
+    return _from_numpy(vals, typecode)
+
+
+def encode_xor_bss(arr: pa.Array, typecode: int) -> bytes:
+    """Gorilla-style XOR-with-previous (VLDB'15 time-series float trick),
+    then byte-plane split: slowly-varying series XOR to mostly-zero high
+    planes. Bit-exact (XOR is an involution on the raw bit patterns)."""
+    if typecode not in (T_FLOAT32, T_FLOAT64):
+        raise ValueError("xor_bss requires float32/float64")
+    u = _as_numpy(arr, typecode).view(_FLOAT_UINT[typecode]).copy()
+    if len(u) > 1:
+        u[1:] ^= u[:-1].copy()
+    return _byte_planes(u)
+
+
+def decode_xor_bss(buf: bytes, n: int, typecode: int) -> pa.Array:
+    dt = _FLOAT_UINT[typecode]
+    x = _unsplit_planes(buf, n, dt)
+    u = np.bitwise_xor.accumulate(x, dtype=dt)
+    return _from_numpy(u.view(_NUMPY_OF[typecode]), typecode)
+
+
 # --- token-dictionary text codec ----------------------------------------------
 
 def encode_tokdict(arr: pa.Array, typecode: int) -> bytes:
@@ -422,19 +476,19 @@ def decode_tokdict(buf: bytes, n: int, typecode: int) -> pa.Array:
 CODEC_IDS = {
     "plain": 0, "constant": 1, "dict": 2, "rle": 3,
     "for_bitpack": 4, "delta_bitpack": 5, "fsst": 6, "tokdict": 7,
-    "fixedpoint": 8,
+    "fixedpoint": 8, "bss": 9, "xor_bss": 10,
 }
 CODEC_NAMES = {v: k for k, v in CODEC_IDS.items()}
 
 _ENCODERS = {
     0: encode_plain, 1: encode_constant, 2: encode_dict, 3: encode_rle,
     4: encode_for_bitpack, 5: encode_delta_bitpack, 6: encode_fsst,
-    7: encode_tokdict, 8: encode_fixedpoint,
+    7: encode_tokdict, 8: encode_fixedpoint, 9: encode_bss, 10: encode_xor_bss,
 }
 _DECODERS = {
     0: decode_plain, 1: decode_constant, 2: decode_dict, 3: decode_rle,
     4: decode_for_bitpack, 5: decode_delta_bitpack, 6: decode_fsst,
-    7: decode_tokdict, 8: decode_fixedpoint,
+    7: decode_tokdict, 8: decode_fixedpoint, 9: decode_bss, 10: decode_xor_bss,
 }
 
 

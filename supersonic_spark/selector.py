@@ -96,8 +96,28 @@ def _token_repeat_ratio(dense: pa.Array) -> float:
     return pc.count_distinct(flat).as_py() / len(flat)
 
 
+def _float_trial(dense: pa.Array, typecode: int, entropy: str) -> str:
+    """Measured selection for non-fixed-point floats: compress a sample
+    under each byte-layout candidate through the entropy backend and keep
+    the smallest. All three layouts are bit-exact permutations/involutions,
+    so this is purely a size decision."""
+    from .codecs.framing import _entropy_codec
+    from .codecs.kernels import encode_bss, encode_plain, encode_xor_bss
+    s = _sample(dense).slice(0, 1024)
+    if len(s) < 64:
+        return "plain"
+    codec = _entropy_codec(entropy)
+    sizes = {
+        name: len(codec.compress(enc(s, typecode), asbytes=True))
+        for name, enc in (("plain", encode_plain), ("bss", encode_bss),
+                          ("xor_bss", encode_xor_bss))
+    }
+    return min(sizes.items(), key=lambda kv: (kv[1], kv[0]))[0]
+
+
 def choose_codec(arr: pa.Array | pa.ChunkedArray,
-                 stats: ColumnStats | None = None) -> tuple[str, ColumnStats]:
+                 stats: ColumnStats | None = None,
+                 entropy: str | None = None) -> tuple[str, ColumnStats]:
     """Decision rules -> codec name. Deterministic given the chunk."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
@@ -141,14 +161,23 @@ def choose_codec(arr: pa.Array | pa.ChunkedArray,
         v = dense.to_numpy(zero_copy_only=False).astype(_np.float64)
         if fixedpoint_scale(v) is not None:
             return "fixedpoint", st
-    # bool / non-fixed-point float: plain (rle if very runny)
+        if st.mean_run_len >= 8.0:
+            return "rle", st
+        # without an entropy stage every byte permutation is size-identical
+        # to plain, so the layout choice only matters (and is only measured)
+        # when a backend is configured
+        if entropy is not None:
+            return _float_trial(dense, typecode, entropy), st
+        return "plain", st
+    # bool: plain (rle if very runny)
     if st.mean_run_len >= 8.0:
         return "rle", st
     return "plain", st
 
 
 def choose_codecs(batch: pa.RecordBatch | pa.Table,
-                  overrides: dict[str, str] | None = None) -> dict[str, str]:
+                  overrides: dict[str, str] | None = None,
+                  entropy: str | None = None) -> dict[str, str]:
     """Codec per column for a row chunk; overrides pin specific columns."""
     overrides = overrides or {}
     out = {}
@@ -157,5 +186,5 @@ def choose_codecs(batch: pa.RecordBatch | pa.Table,
         if name in overrides:
             out[name] = overrides[name]
         else:
-            out[name], _ = choose_codec(col)
+            out[name], _ = choose_codec(col, entropy=entropy)
     return out

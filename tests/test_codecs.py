@@ -322,3 +322,90 @@ def test_selector_picks_fixedpoint_for_prices():
     assert choose_codec(irregular)[0] == "plain"
     out, _ = decode_column(encode_column(prices, "fixedpoint"))
     assert_identical(out, prices)
+
+
+# --- float byte-plane codecs + entropy outer stage ------------------------------
+
+@pytest.mark.parametrize("codec", ["bss", "xor_bss"])
+@pytest.mark.parametrize("typ", [pa.float32(), pa.float64()])
+def test_bss_roundtrip_bitexact(codec, typ):
+    rng = np.random.default_rng(41)
+    raw = rng.normal(size=4097)
+    # adversarial payloads: NaN, +/-inf, -0.0, denormals
+    raw[:8] = [np.nan, np.inf, -np.inf, -0.0, 0.0, 5e-324, -5e-324, 1.0]
+    vals = raw.astype("float32" if typ == pa.float32() else "float64")
+    for n in [s for s in SWEEP_SIZES if s <= len(vals)] + [4097]:
+        sub = pa.array(vals[:n], type=typ)
+        got, used = decode_column(encode_column(sub, codec))
+        assert got.type == typ and len(got) == n
+        # bit-exact comparison (NaN != NaN under value equality)
+        a = got.to_numpy(zero_copy_only=False).astype(vals.dtype)
+        assert a.tobytes() == vals[:n].tobytes()
+
+
+def test_bss_nulls():
+    arr = pa.array([1.5, None, float("nan"), -0.0, None], type=pa.float64())
+    for codec in ("bss", "xor_bss"):
+        out = roundtrip(arr, codec)
+        assert out.is_valid().to_pylist() == arr.is_valid().to_pylist()
+        assert str(out.to_pylist()) == str(arr.to_pylist())
+
+
+def test_entropy_stage_roundtrip_and_size():
+    # phrase-repetitive text: tokdict removes word-level redundancy but the
+    # token-index sequence still repeats across rows — the entropy outer
+    # stage captures that order redundancy; both forms must round-trip
+    rng = np.random.default_rng(7)
+    phrases = [f"call tool {t} with argument set {a} then report status"
+               for t in range(5) for a in range(5)]
+    vals = [phrases[i] for i in rng.integers(0, 25, 2000)]
+    arr = pa.array(vals)
+    bare = encode_column(arr, "tokdict")
+    staged = encode_column(arr, "tokdict", entropy="zstd")
+    assert len(staged) < 0.8 * len(bare)
+    for buf in (bare, staged):
+        out, used = decode_column(buf)
+        assert used == len(buf)
+        assert_identical(out, arr)
+
+
+def test_entropy_stage_self_disables_when_unhelpful():
+    # incompressible payload: frame must fall back to the bare codec
+    rng = np.random.default_rng(9)
+    blob = [rng.bytes(64) for _ in range(512)]
+    arr = pa.array(blob, type=pa.binary())
+    bare = encode_column(arr, "plain")
+    staged = encode_column(arr, "plain", entropy="zstd")
+    # allow tiny differences only if stage was kept; spec: never >1B worse
+    assert len(staged) <= len(bare)
+    out, _ = decode_column(staged)
+    assert_identical(out, arr)
+
+
+def test_entropy_stage_in_blocks_and_report():
+    from supersonic_spark.codecs import block_codec_report
+    tbl = pa.table({
+        "text": pa.array([f"the quick brown fox number {i % 37} jumps over "
+                          f"the lazy dog {i % 11}" for i in range(500)]),
+        "x": pa.array(np.arange(500, dtype=np.int64)),
+    })
+    codecs = choose_codecs(tbl, entropy="zstd")
+    buf = encode_block(tbl, codecs, entropy="zstd")
+    report = block_codec_report(buf)
+    assert report["text"].endswith("+zstd"), report
+    out, used = decode_block(buf)
+    assert used == len(buf)
+    assert out.equals(tbl)
+
+
+def test_selector_float_trial_with_entropy():
+    rng = np.random.default_rng(55)
+    # smooth series: xor_bss should win under zstd
+    smooth = pa.array(np.cumsum(rng.normal(0, 1e-6, 4096)) + 100.0,
+                      type=pa.float64())
+    codec, _ = choose_codec(smooth, entropy="zstd")
+    assert codec in ("xor_bss", "bss")
+    out, _ = decode_column(encode_column(smooth, codec, entropy="zstd"))
+    assert out.equals(smooth)
+    # without an entropy backend the selector keeps plain
+    assert choose_codec(smooth)[0] == "plain"
