@@ -825,6 +825,107 @@ def q_codec_selection_report(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# multi-join analytic suite (TPC-H Q3/Q5/Q10 shapes)
+#
+# The reference executes hand-built plans one operator at a time; these
+# demonstrate the same join/agg operators composed into full analytic
+# queries where Catalyst handles what Supersonic's users did by hand:
+# join ordering, broadcast of filtered dims, partial aggregation, and
+# top-k pushdown (TakeOrderedAndProject).
+# ---------------------------------------------------------------------------
+
+def q_tpch_q3_shipping_priority(spark, sf):
+    """Q3 shape: date-filtered fact-fact join + broadcast filtered customer
+    dim, grouped revenue, deterministic top-10."""
+    cut = F.lit("1997-06-01").cast("timestamp")
+    c = (_t(spark, sf, "customer")
+         .filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey"))
+    o = (_t(spark, sf, "orders").filter(F.col("o_orderdate") < cut)
+         .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"))
+    li = (_t(spark, sf, "lineitem").filter(F.col("l_shipdate") > cut)
+          .select("l_orderkey",
+                  _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                  .alias("rev_cents")))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.sum("rev_cents").alias("revenue_cents"))
+            .orderBy(F.desc("revenue_cents"), "o_orderdate", "l_orderkey")
+            .limit(10))
+
+
+def q_tpch_q5_local_supplier(spark, sf):
+    """Q5 shape: 6-table snowflake join with the extra local-supplier
+    equi-constraint (c_nationkey = s_nationkey); region/nation dims
+    broadcast; revenue per nation."""
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1997-01-01").cast("timestamp")
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf, "nation")
+    s = _t(spark, sf, "supplier")
+    c = _t(spark, sf, "customer")
+    o = (_t(spark, sf, "orders")
+         .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)))
+    li = _t(spark, sf, "lineitem")
+    nr = F.broadcast(n.join(r, n.n_regionkey == r.r_regionkey)
+                     .select("n_nationkey", "n_name"))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(s, (li.l_suppkey == s.s_suppkey)
+                  & (c.c_nationkey == s.s_nationkey))
+            .join(nr, s.s_nationkey == nr.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.sum(_cents(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount"))))
+                 .alias("revenue_cents"))
+            .orderBy(F.desc("revenue_cents"), "n_name"))
+
+
+def q_tpch_q10_returned_items(spark, sf):
+    """Q10 shape: returned-item revenue per customer over a quarter,
+    nation dim broadcast, deterministic top-20."""
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1997-04-01").cast("timestamp")
+    c = _t(spark, sf, "customer")
+    o = (_t(spark, sf, "orders")
+         .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)))
+    li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = F.broadcast(_t(spark, sf, "nation"))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(n, c.c_nationkey == n.n_nationkey)
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(F.sum(_cents(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount"))))
+                 .alias("revenue_cents"))
+            .orderBy(F.desc("revenue_cents"), "c_custkey")
+            .limit(20))
+
+
+def q_codec_roundtrip_floats(spark, sf):
+    """Float-codec gate: explode embeddings to scalar float32, run them
+    through the codec stack (selector + entropy stage -> bss/xor_bss/plain)
+    inside each task, prove value identity vs the raw table."""
+    import pyarrow as pa
+
+    def rt(batches):
+        from supersonic_spark.runtime import pin_worker_threads
+        pin_worker_threads()
+        from supersonic_spark.codecs import decode_block, encode_block
+        from supersonic_spark.selector import choose_codecs
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            buf = encode_block(tbl, choose_codecs(tbl, entropy="zstd"),
+                               entropy="zstd")
+            out, _ = decode_block(buf)
+            yield from out.to_batches()
+
+    e = _t(spark, sf, "embeddings")
+    flat = e.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+    return flat.repartition(4).mapInArrow(rt, schema=flat.schema)
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -908,7 +1009,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_pairs": q_embedding_near_pairs,
         "multimodal_binary_meta": q_multimodal_binary_meta,
         "codec_roundtrip_docs": q_codec_roundtrip_docs,
+        "codec_roundtrip_floats": q_codec_roundtrip_floats,
         "codec_selection_report": q_codec_selection_report,
+        "tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
+        "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
+        "tpch_q10_returned_items": q_tpch_q10_returned_items,
     }
 
 

@@ -687,3 +687,58 @@ SELECT user_id, MIN(ts) AS sess_start,
        count(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
 FROM sessions GROUP BY user_id, sess_id
 """
+
+ORACLES["tpch_q3_shipping_priority"] = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*100, 0) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-06-01'
+  AND l_shipdate  > TIMESTAMP '1997-06-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_cents DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+ORACLES["tpch_q5_local_supplier"] = """
+SELECT n_name,
+       CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*100, 0) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue_cents DESC, n_name
+"""
+
+ORACLES["tpch_q10_returned_items"] = """
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*100, 0) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-04-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue_cents DESC, c_custkey
+LIMIT 20
+"""
+
+ORACLES["codec_roundtrip_floats"] = """
+SELECT vec_id,
+       CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+       unnest(embedding) AS val
+FROM embeddings
+"""
