@@ -656,9 +656,13 @@ def q_spy_observe(spark, sf):
 
 def q_splitter_reuse(spark, sf):
     # Splitter / shared-scan DAG (splitter.h:46-70): one input consumed by
-    # two readers -> in Spark, reference the same (cached) DataFrame twice;
-    # Catalyst reuses the exchange.
-    li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") > 10)
+    # two readers. The branches aggregate by DIFFERENT keys, so Catalyst
+    # cannot reuse the exchange — an eager localCheckpoint materializes
+    # the filtered scan once and both branches read the checkpoint blocks
+    # (single lineitem scan, honoring the Splitter single-scan contract).
+    li = (_t(spark, sf, "lineitem").filter(F.col("l_quantity") > 10)
+          .select("l_returnflag", "l_linestatus")
+          .localCheckpoint(eager=True))
     a = (li.groupBy("l_returnflag")
            .agg(F.count("*").alias("n"))
            .withColumn("branch", F.lit("by_flag"))

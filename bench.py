@@ -72,6 +72,9 @@ def main():
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         query_secs[name] = round(time.perf_counter() - t0, 3)
+        # isolation: no query's cached/checkpointed state bleeds into the
+        # next measurement
+        spark.catalog.clearCache()
 
     # --- encode throughput on deterministic synthetic transcripts ----------
     from supersonic_spark.datagen import generate_transcripts

@@ -8,7 +8,7 @@ via the DataFrame API so Catalyst applies pushdown/pruning/broadcast.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -35,14 +35,47 @@ def foreign_filter(fact: DataFrame, keys: DataFrame, fk: str,
                      on=fk, how="left_semi")
 
 
+_MID_PART_SHIFT = 33  # monotonically_increasing_id = pid << 33 | local_idx
+
+
+def with_rowid(df: DataFrame, order: list[str],
+               out: str = "_rowid", n_partitions: int | None = None) -> DataFrame:
+    """Dense 0-based row ids under a total order WITHOUT a global Window
+    (which would serialize all rows through one partition at scale).
+
+    Plan: range-partition + sort-within-partitions on the order keys,
+    attach partition-local ids via monotonically_increasing_id (pure
+    codegen, no shuffle), materialize once (eager localCheckpoint pins
+    the sampled range boundaries so the offsets job and the consumer see
+    the same partitioning), then collect one tiny row per partition to
+    build the prefix-sum offset map — O(#partitions), driver-safe even at
+    thousands of executors."""
+    sess = df.sparkSession
+    n = n_partitions or sess.sparkContext.defaultParallelism
+    keyed = (df.repartitionByRange(n, *[F.col(c) for c in order])
+               .sortWithinPartitions(*order)
+               .withColumn("_mid", F.monotonically_increasing_id())
+               .localCheckpoint(eager=True))
+    pid_col = F.shiftright(F.col("_mid"), _MID_PART_SHIFT)
+    parts = keyed.groupBy(pid_col.alias("_pid")).count().collect()
+    offsets: list = []
+    acc = 0
+    for r in sorted(parts, key=lambda r: r["_pid"]):
+        offsets += [F.lit(int(r["_pid"])), F.lit(acc)]
+        acc += r["count"]
+    off_map = F.create_map(*offsets)
+    local = F.col("_mid").bitwiseAND(F.lit((1 << _MID_PART_SHIFT) - 1))
+    return (keyed.withColumn(out, (off_map[pid_col] + local).cast("long"))
+            .drop("_mid"))
+
+
 def rowid_merge_join(left: DataFrame, right: DataFrame, fk: str,
                      right_order: list[str]) -> DataFrame:
     """Join left.fk against the *row id* (position) of the ordered right
     side (reference: supersonic/cursor/core/rowid_merge_join.h:15-27).
-    Row ids are materialized with row_number so the plan stays an equi
-    join Catalyst can optimize."""
-    w = Window.orderBy(*[F.col(c) for c in right_order])
-    rid = right.withColumn("_rowid", F.row_number().over(w) - F.lit(1))
+    Row ids come from with_rowid (partition-parallel, no global Window)
+    so the plan stays an equi join Catalyst can optimize."""
+    rid = with_rowid(right, right_order)
     return left.join(rid, left[fk] == rid["_rowid"], "inner").drop("_rowid")
 
 
@@ -58,12 +91,12 @@ def coalesce_zip(left: DataFrame, right: DataFrame) -> DataFrame:
     """Column-wise zip of two frames by row position — Supersonic's
     Coalesce, which is NOT SQL COALESCE and NOT union (reference:
     supersonic/cursor/core/coalesce.h:16-25). Spark has no positional
-    zip, so both sides get explicit positional ids and an equi join;
-    inputs must define a deterministic order via their own columns."""
-    lw = Window.orderBy(*[F.col(c) for c in left.columns])
-    rw = Window.orderBy(*[F.col(c) for c in right.columns])
-    lpos = left.withColumn("_pos", F.row_number().over(lw))
-    rpos = right.withColumn("_pos", F.row_number().over(rw))
+    zip, so both sides get explicit positional ids (with_rowid:
+    partition-parallel, no single-partition global Window) and an equi
+    join; inputs must define a deterministic order via their own
+    columns."""
+    lpos = with_rowid(left, left.columns, out="_pos")
+    rpos = with_rowid(right, right.columns, out="_pos")
     return lpos.join(rpos, "_pos", "inner").drop("_pos")
 
 
@@ -115,14 +148,15 @@ def group_aggregate_with_limit(df: DataFrame, key: str, agg_col: str, k: int,
     """GroupAggregate with a cap on unique keys: the top-k keys keep their
     own rows, everything else collapses into one catch-all row
     (reference: supersonic/cursor/core/aggregate.h:264-276). Spark plan:
-    full agg (partial/final), rank, then a second tiny agg over the
-    overflow — no extra scan of the fact table."""
-    agg = df.groupBy(key).agg(F.sum(agg_col).alias("agg_val"),
-                              F.count("*").alias("n_rows"))
-    w = Window.orderBy(F.col("agg_val").desc(), F.col(key).asc())
-    ranked = agg.withColumn("_rk", F.row_number().over(w))
-    top = ranked.filter(F.col("_rk") <= k).drop("_rk")
-    other = (ranked.filter(F.col("_rk") > k)
+    full agg (partial/final) materialized once, the top-k boundary via
+    orderBy().limit(k) (TakeOrderedAndProject — parallel partial top-k,
+    no single-partition global Window ranking every distinct key), then
+    a broadcast anti join splits the overflow into one catch-all row."""
+    agg = (df.groupBy(key).agg(F.sum(agg_col).alias("agg_val"),
+                               F.count("*").alias("n_rows"))
+             .localCheckpoint(eager=True))  # consumed twice (top + anti)
+    top = agg.orderBy(F.col("agg_val").desc(), F.col(key).asc()).limit(k)
+    other = (agg.join(F.broadcast(top.select(key)), key, "left_anti")
              .agg(F.lit(other_label).alias(key),
                   F.sum("agg_val").alias("agg_val"),
                   F.sum("n_rows").alias("n_rows"))

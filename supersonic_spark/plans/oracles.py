@@ -413,9 +413,13 @@ WITH g AS (
            unnest(string_split_regex(trim(text), '\\s+')) AS tok
     FROM documents)),
 sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+hot AS (SELECT g, source FROM g GROUP BY g, source HAVING count(*) > 64),
+gc AS (SELECT doc_id, source, g.g AS g FROM g
+       WHERE NOT EXISTS (SELECT 1 FROM hot h
+                         WHERE h.g = g.g AND h.source = g.source)),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-  FROM g a JOIN g b ON a.g = b.g AND a.source = b.source
+  FROM gc a JOIN gc b ON a.g = b.g AND a.source = b.source
   WHERE a.doc_id < b.doc_id
   GROUP BY 1, 2)
 SELECT id_a, id_b,

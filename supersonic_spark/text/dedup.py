@@ -75,9 +75,13 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                                                 F.col("minhash").cast("string")))))
                       .alias("band_key")))
     # the self-join consumes `banded` twice and Catalyst does not reuse the
-    # exchange across the two aliases — persist so the shingle/minhash
-    # pipeline (the expensive part at scale) computes once
-    banded = banded.persist()
+    # exchange across the two aliases — materialize once via an eager
+    # localCheckpoint: unlike persist() it leaves no cache-manager entry
+    # behind (blocks are freed when the plan is GC'd), so repeated calls in
+    # a long-lived session don't leak storage memory. On a real cluster
+    # with executor churn, swap for setCheckpointDir + checkpoint() —
+    # localCheckpoint blocks are lost with their executor.
+    banded = banded.localCheckpoint(eager=True)
     a = banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "band_key")
     return (a.join(b, ["band", "band_key"])
@@ -111,22 +115,47 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                         group_col: str | None = None, n: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
-    """Exact n-gram Jaccard similarity pairs above threshold.
+                        threshold: float = 0.5,
+                        df_cap: int | None = 64) -> DataFrame:
+    """n-gram Jaccard similarity pairs above threshold.
     |A∩B| via explode+join+count; |A∪B| = |A|+|B|-|A∩B|.
     If group_col given, only pairs within the same group are compared
-    (blocking — at scale, always block)."""
+    (blocking — at scale, always block).
+
+    df_cap bounds the hot-gram quadratic blow-up (prefix-filtering): a
+    gram shared by m docs yields m² intersection join rows, so grams with
+    document frequency > df_cap are dropped from the intersection (their
+    docs still count in the union sizes). The reported jaccard is
+    therefore a lower bound for pairs whose overlap includes capped grams
+    — a conservative, deterministic trade that the oracle mirrors
+    exactly. df_cap=None disables the cap (exact, quadratic in the
+    hottest gram's frequency)."""
     grams = df.select(
         F.col(id_col),
         *([F.col(group_col)] if group_col else []),
         F.explode(word_ngrams(F.col(text_col), n)).alias("g"))
-    grams = grams.persist()  # consumed 3x (sizes + both join sides)
+    # consumed 3-4x (sizes, df-cap, both join sides): materialize once via
+    # eager localCheckpoint — no cache-manager entry left behind, blocks
+    # are freed when the plan is GC'd (persist() here leaked storage
+    # memory for the rest of the session). Real-cluster note: prefer
+    # setCheckpointDir + checkpoint() under executor churn.
+    grams = grams.localCheckpoint(eager=True)
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("sz"))
     join_keys = ["g"] + ([group_col] if group_col else [])
-    a = grams.select(*[F.col(c) for c in join_keys],
-                     F.col(id_col).alias("id_a"))
-    b = grams.select(*[F.col(c) for c in join_keys],
-                     F.col(id_col).alias("id_b"))
+    capped = grams
+    if df_cap is not None:
+        # grams are distinct per doc (word_ngrams dedups), so count(*)
+        # per join key == document frequency; the hot set is tiny ->
+        # broadcast anti join
+        hot = (grams.groupBy(*join_keys)
+                    .agg(F.count("*").alias("_df"))
+                    .filter(F.col("_df") > df_cap)
+                    .select(*join_keys))
+        capped = grams.join(F.broadcast(hot), join_keys, "left_anti")
+    a = capped.select(*[F.col(c) for c in join_keys],
+                      F.col(id_col).alias("id_a"))
+    b = capped.select(*[F.col(c) for c in join_keys],
+                      F.col(id_col).alias("id_b"))
     inter = (a.join(b, join_keys)
               .filter(F.col("id_a") < F.col("id_b"))
               .groupBy("id_a", "id_b")
