@@ -627,6 +627,63 @@ def q_expr_math2(spark, sf):
         F.round(F.lit(3.141592653589793), 4).alias("pi4"))
 
 
+def q_expr_string2(spark, sf):
+    # remaining string leaves: TrailingSubstring (right), leading slice,
+    # pad/repeat/reverse, Format -> format_number
+    # (string_expressions.h:29-102 TrailingSubstring/Format analogues)
+    c = _t(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.expr("right(c_name, 5)").alias("name_tail"),
+        F.expr("left(c_name, 4)").alias("name_head"),
+        F.lpad(F.col("c_mktsegment"), 12, "*").alias("seg_lpad"),
+        F.rpad(F.col("c_mktsegment"), 12, "*").alias("seg_rpad"),
+        F.repeat(F.substring(F.col("c_name"), 1, 2), 3).alias("rep2"),
+        F.reverse(F.col("c_mktsegment")).alias("seg_rev"),
+        F.format_number(_cents(F.col("c_acctbal")), 0).alias("bal_fmt"))
+
+
+def q_expr_math3(spark, sf):
+    # hyperbolic + inverse-hyperbolic trig, IsInf / IsNormal analogues,
+    # degrees/radians/cbrt (math_expressions.h:37-136 leaves)
+    ev = _t(spark, sf, "events")
+    x = F.col("value") / 50
+    inf_mix = F.when(F.col("value") > 50, F.exp(F.lit(1000.0))) \
+               .otherwise(F.col("value"))
+    inf = F.lit(float("inf"))
+    return ev.select(
+        "event_id",
+        F.round(F.sinh(x), 4).alias("sh"),
+        F.round(F.cosh(x), 4).alias("ch"),
+        F.round(F.tanh(x), 4).alias("th"),
+        F.round(F.asinh(x), 4).alias("ash"),
+        F.round(F.acosh(x + 1), 4).alias("ach"),
+        F.round(F.atanh(x / 20), 4).alias("ath"),
+        (F.abs(inf_mix) == inf).alias("is_inf"),
+        ((~F.isnan(inf_mix)) & (F.abs(inf_mix) != inf)
+         & (inf_mix != 0.0)).alias("is_normal"),
+        F.round(F.degrees(x), 4).alias("deg"),
+        F.round(F.radians(F.col("value")), 4).alias("rad"),
+        F.round(F.cbrt(F.col("value")), 4).alias("cbr"))
+
+
+def q_expr_make_datetime(spark, sf):
+    # MakeDatetime + session-TZ Local conversions
+    # (date_expressions.h:31-175: MakeDatetime, *Local variants); the TZ
+    # round-trip uses a DST-free zone so both engines' tz-db lookups agree
+    ev = _t(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        F.make_timestamp(
+            F.year("ts"), F.month("ts"), F.dayofmonth("ts"),
+            F.hour("ts"), F.minute("ts"), F.second("ts")).alias("ts_made"),
+        F.from_utc_timestamp("ts", "Asia/Kolkata").alias("ist_wall"),
+        F.to_utc_timestamp("ts", "Asia/Kolkata").alias("utc_from_ist"),
+        F.datediff(F.col("ts").cast("date"),
+                   F.lit("1995-01-01").cast("date")).alias("days_since"),
+        F.weekofyear("ts").alias("woy"))
+
+
 def q_jobspec_declarative(spark, sf):
     # serialized-plan seam (BuildExpressionFromProto analogue)
     from supersonic_spark.plans.jobspec import build_job
@@ -640,6 +697,16 @@ def q_jobspec_declarative(spark, sf):
         "limit": 3,
     }
     return build_job(spark, spec)
+
+
+def q_enum_roundtrip(spark, sf):
+    # ENUM attribute surface (tuple_schema.h:42-74 EnumDefinition): symbol
+    # -> dense code -> symbol, codes = sorted-distinct positions
+    from supersonic_spark.enums import from_enum, to_enum
+    o = _t(spark, sf, "orders")
+    coded, symbols = to_enum(o, "o_orderpriority", code_col="prio_code")
+    back = from_enum(coded, "prio_code", symbols, "prio_sym")
+    return back.select("o_orderkey", "prio_code", "prio_sym")
 
 
 def q_spy_observe(spark, sf):
@@ -767,6 +834,44 @@ def q_ann_ivf_topk(spark, sf):
     qvec = pq.read_table(f"{sf}/embeddings.parquet").column("embedding")[0].as_py()
     cents = train_centroids(e, k=4)
     return ivf_topk(e, qvec, 20, cents, n_probe=4)
+
+
+def q_ann_topk_arrow(spark, sf):
+    # Arrow-batched numpy-matmul scorer (the realistic-dim hot path);
+    # same oracle as the HOF scorer — exact top-k either way
+    import pyarrow.parquet as pq
+    from supersonic_spark.ann import cosine_topk_arrow
+    qvec = pq.read_table(f"{sf}/embeddings.parquet").column("embedding")[0].as_py()
+    return cosine_topk_arrow(_t(spark, sf, "embeddings"), qvec, 20)
+
+
+def q_lsh_topk(spark, sf):
+    # random-hyperplane LSH probe, Arrow-batched bucket+score kernel; the
+    # oracle replicates the deterministic ±1 planes as SQL literals
+    import pyarrow.parquet as pq
+    from supersonic_spark.ann import lsh_topk_arrow
+    qvec = pq.read_table(f"{sf}/embeddings.parquet").column("embedding")[0].as_py()
+    return lsh_topk_arrow(_t(spark, sf, "embeddings"), qvec, 20, n_planes=8)
+
+
+def q_ann_ivf_topk_arrow(spark, sf):
+    # IVF coarse quantizer on the Arrow path, full probing == exact
+    import pyarrow.parquet as pq
+    from supersonic_spark.ann import ivf_topk_arrow, train_centroids
+    e = _t(spark, sf, "embeddings")
+    qvec = pq.read_table(f"{sf}/embeddings.parquet").column("embedding")[0].as_py()
+    cents = train_centroids(e, k=4)
+    return ivf_topk_arrow(e, qvec, 20, cents, n_probe=4)
+
+
+def q_ann_topk_multi(spark, sf):
+    # batch-of-queries top-k: one matmul scan + map-side partial top-k
+    # (the realistic many-query ANN hot path)
+    import pyarrow.parquet as pq
+    from supersonic_spark.ann import cosine_topk_multi_arrow
+    emb = pq.read_table(f"{sf}/embeddings.parquet").column("embedding")
+    queries = [emb[i].as_py() for i in range(3)]
+    return cosine_topk_multi_arrow(_t(spark, sf, "embeddings"), queries, 10)
 
 
 def q_embedding_near_pairs(spark, sf):
@@ -994,8 +1099,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles": q_percentiles,
         "expr_datetime2": q_expr_datetime2,
         "expr_math2": q_expr_math2,
+        "expr_string2": q_expr_string2,
+        "expr_math3": q_expr_math3,
+        "expr_make_datetime": q_expr_make_datetime,
         "jobspec_declarative": q_jobspec_declarative,
         "spy_observe": q_spy_observe,
+        "enum_roundtrip": q_enum_roundtrip,
         "splitter_reuse": q_splitter_reuse,
         "udaf_grouped": q_udaf_grouped,
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
@@ -1010,6 +1119,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_threshold": q_ann_cosine_threshold,
         "ann_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_topk_arrow": q_ann_topk_arrow,
+        "ann_ivf_topk_arrow": q_ann_ivf_topk_arrow,
+        "lsh_topk": q_lsh_topk,
+        "ann_topk_multi": q_ann_topk_multi,
         "embedding_near_pairs": q_embedding_near_pairs,
         "multimodal_binary_meta": q_multimodal_binary_meta,
         "codec_roundtrip_docs": q_codec_roundtrip_docs,

@@ -128,6 +128,12 @@ def main():
                                      "median_turns_per_sec_low",
                                      "median_turns_per_sec_high",
                                      "cores_low", "cores_high") if k in s}
+    ann_kernel = None
+    ann_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH", "ann_kernel.json")
+    if os.path.exists(ann_path):
+        with open(ann_path) as f:
+            ann_kernel = json.load(f)
 
     print(json.dumps({
         "metric": "headline suite wall-clock (queries + transcript encode)",
@@ -137,6 +143,7 @@ def main():
         "sf": sf,
         "encode": encode_stats,
         "scaling": scaling,
+        "ann_kernel": ann_kernel,
     }))
     spark.stop()
 

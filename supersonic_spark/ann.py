@@ -148,6 +148,202 @@ def train_centroids(df: DataFrame, k: int, id_col: str = "vec_id",
     return [list(map(float, r[vec_col])) for r in rows]
 
 
+# --- Arrow-batched kernels (the 100 TB hot path) ---------------------------
+#
+# The higher-order-function scorers above are interpreted per element and
+# the literal-expansion bucket assigners build O(planes*dim) Catalyst
+# expression trees — fine for oracle-checkable toy dims, hostile at real
+# dims (768+). These mapInArrow kernels batch whole record batches through
+# one numpy matmul; same math, same outputs, ~10-100x faster per element
+# (see BENCH/ann_kernel.json).
+
+def _list_to_matrix(col, dim: int):
+    """Arrow list<float> column chunk -> (n, dim) float64 matrix."""
+    import numpy as np
+    flat = np.asarray(col.flatten(), dtype=np.float64)
+    return flat.reshape(-1, dim)
+
+
+def cosine_scores_arrow(df: DataFrame, query: list[float],
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """(id, cos_sim) via one numpy matvec per Arrow batch. No shuffle —
+    embarrassingly parallel scan; round/top-k are applied by callers in
+    DataFrame land so rounding semantics match the expression path."""
+    import numpy as np
+    q = np.asarray(query, dtype=np.float64)
+    dim = len(query)
+    qn = float(np.sqrt((q * q).sum()))
+
+    def run(batches):
+        from supersonic_spark.runtime import pin_worker_threads
+        pin_worker_threads()
+        import pyarrow as pa
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            m = _list_to_matrix(batch.column(1), dim)
+            norms = np.sqrt((m * m).sum(axis=1))
+            sims = (m @ q) / (norms * qn)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), pa.array(sims, pa.float64())],
+                [id_col, "cos_sim"])
+
+    return (df.select(id_col, vec_col)
+              .mapInArrow(run, schema=f"{id_col} long, cos_sim double"))
+
+
+def cosine_topk_arrow(df: DataFrame, query: list[float], k: int,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k, Arrow-batched scorer + TakeOrderedAndProject."""
+    s = cosine_scores_arrow(df, query, id_col, vec_col)
+    return (s.select(id_col, F.round("cos_sim", 4).alias("cos_sim"))
+             .orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k))
+
+
+def cosine_topk_multi_arrow(df: DataFrame, queries: list[list[float]],
+                            k: int, id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Top-k per query for a BATCH of query vectors in one scan: one
+    (batch x queries) matmul per Arrow batch, map-side partial top-k per
+    (batch, query), then an exact final top-k per query over the tiny
+    candidate union (global top-k is a subset of per-batch top-k, so this
+    is exact). This is the realistic ANN hot path — m queries cost one
+    pass, not m expression passes. Output: (query_id, id, cos_sim)."""
+    import numpy as np
+    from pyspark.sql import Window
+    qm = np.asarray(queries, dtype=np.float64)            # (m, dim)
+    m, dim = qm.shape
+    qn = np.sqrt((qm * qm).sum(axis=1))
+
+    def run(batches):
+        from supersonic_spark.runtime import pin_worker_threads
+        pin_worker_threads()
+        import pyarrow as pa
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            mat = _list_to_matrix(batch.column(1), dim)
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            sims = (mat @ qm.T) / (norms[:, None] * qn[None, :])  # (n, m)
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            # 2x margin so rounded-value ties at the k boundary still
+            # resolve to the same (rounded desc, id asc) winners globally
+            kk = min(2 * k, sims.shape[0])
+            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]     # (kk, m)
+            qid = np.repeat(np.arange(m, dtype=np.int32), kk)
+            rows = top.T.ravel()                                   # per query
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(qid, pa.int32()),
+                 pa.array(ids[rows], pa.int64()),
+                 pa.array(sims[rows, np.repeat(np.arange(m), kk)],
+                          pa.float64())],
+                ["query_id", id_col, "cos_sim"])
+
+    cand = (df.select(id_col, vec_col)
+              .mapInArrow(run, schema=f"query_id int, {id_col} long, "
+                                      f"cos_sim double"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("cos_sim", 4).desc(), F.col(id_col))
+    return (cand.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") <= k).drop("_rk")
+                .select("query_id", id_col,
+                        F.round("cos_sim", 4).alias("cos_sim")))
+
+
+def plane_matrix(n_planes: int, dim: int):
+    """The deterministic ±1 hyperplane weights as an (n_planes, dim)
+    float64 matrix — same weights as lsh_bucket's literal expansion."""
+    import numpy as np
+    return np.array([[1.0 if _plane_sign(p, j) else -1.0
+                      for j in range(dim)] for p in range(n_planes)])
+
+
+def lsh_topk_arrow(df: DataFrame, query: list[float], k: int,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   n_planes: int = 8) -> DataFrame:
+    """Approximate top-k: one kernel computes bucket AND cosine per batch
+    (single scan, no expression-tree explosion); only the query's bucket
+    survives. At scale the bucket assignment is precomputed and the table
+    written bucketed by it, so probes read one bucket's files."""
+    import numpy as np
+    dim = len(query)
+    w = plane_matrix(n_planes, dim)
+    q = np.asarray(query, dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum()))
+    pw2 = (1 << np.arange(n_planes)).astype(np.int64)
+    q_bucket = int(((w @ q > 0).astype(np.int64) * pw2).sum())
+
+    def run(batches):
+        from supersonic_spark.runtime import pin_worker_threads
+        pin_worker_threads()
+        import pyarrow as pa
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            m = _list_to_matrix(batch.column(1), dim)
+            buckets = (((m @ w.T) > 0).astype(np.int64) * pw2).sum(axis=1)
+            keep = buckets == q_bucket
+            mk = m[keep]
+            norms = np.sqrt((mk * mk).sum(axis=1))
+            sims = (mk @ q) / (norms * qn)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0).filter(pa.array(keep)),
+                 pa.array(sims, pa.float64())],
+                [id_col, "cos_sim"])
+
+    cand = (df.select(id_col, vec_col)
+              .mapInArrow(run, schema=f"{id_col} long, cos_sim double"))
+    return (cand.select(id_col, F.round("cos_sim", 4).alias("cos_sim"))
+                .orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k))
+
+
+def ivf_assign_arrow(df: DataFrame, centroids: list[list[float]],
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Arrow-batched coarse quantizer: one (batch x centroids) distance
+    matmul per batch instead of per-centroid expression folds. Ties break
+    to the lowest centroid index (numpy argmin), matching ivf_assign."""
+    import numpy as np
+    c = np.asarray(centroids, dtype=np.float64)          # (k, dim)
+    dim = c.shape[1]
+    c_sq = (c * c).sum(axis=1)
+
+    def run(batches):
+        from supersonic_spark.runtime import pin_worker_threads
+        pin_worker_threads()
+        import pyarrow as pa
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            m = _list_to_matrix(batch.column(1), dim)
+            # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2; ||x||^2 constant per row
+            d2 = c_sq[None, :] - 2.0 * (m @ c.T)
+            cells = d2.argmin(axis=1).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), batch.column(1),
+                 pa.array(cells, pa.int32())],
+                [id_col, vec_col, "ivf_cell"])
+
+    out_schema = (f"{id_col} long, {vec_col} array<float>, ivf_cell int")
+    return df.select(id_col, vec_col).mapInArrow(run, schema=out_schema)
+
+
+def ivf_topk_arrow(df: DataFrame, query: list[float], k: int,
+                   centroids: list[list[float]], n_probe: int = 2,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """IVF probe on the Arrow path: assign + cell filter + batched scorer.
+    n_probe = len(centroids) is exact."""
+    import math
+    dists = [(i, math.dist(query, c)) for i, c in enumerate(centroids)]
+    probe = {i for i, _ in sorted(dists, key=lambda t: t[1])[:n_probe]}
+    assigned = ivf_assign_arrow(df, centroids, id_col, vec_col)
+    cand = assigned.filter(F.col("ivf_cell").isin(*probe)).drop("ivf_cell")
+    return cosine_topk_arrow(cand, query, k, id_col, vec_col)
+
+
 def ivf_topk(df: DataFrame, query: list[float], k: int,
              centroids: list[list[float]], n_probe: int = 2,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

@@ -38,9 +38,15 @@ _U16 = struct.Struct("<H")
 
 _MAGIC_COL = b"SC"
 _MAGIC_BLOCK = b"SSBK"
-_VERSION = 1
+# v1: codec payloads only; v2 adds the optional entropy outer stage
+# (flags&2). Writers emit v2; decoders accept both, so pre-entropy frames
+# stay readable and a v1-only decoder rejects v2 frames cleanly instead of
+# misreading a staged payload.
+_VERSION = 2
+_DECODABLE_VERSIONS = (1, 2)
 _FLAG_HAS_NULLS = 1
 _FLAG_ENTROPY = 2
+_KNOWN_FLAGS = _FLAG_HAS_NULLS | _FLAG_ENTROPY
 
 ENTROPY_IDS = {"lz4": 1, "zstd": 2, "gzip": 3}
 ENTROPY_NAMES = {v: k for k, v in ENTROPY_IDS.items()}
@@ -66,8 +72,17 @@ def entropy_compress(payload: bytes, entropy: str) -> bytes | None:
     return bytes([ENTROPY_IDS[entropy]]) + _U64.pack(len(payload)) + comp
 
 
+def validate_entropy(entropy: str | None) -> None:
+    """Fail fast on unknown entropy backends (a typo like 'snappy' would
+    otherwise only surface as a KeyError deep inside executor tasks)."""
+    if entropy is not None and entropy not in ENTROPY_IDS:
+        raise ValueError(f"unknown entropy backend {entropy!r}; "
+                         f"expected one of {sorted(ENTROPY_IDS)} or None")
+
+
 def encode_column(arr: pa.Array | pa.ChunkedArray, codec: str,
                   entropy: str | None = None) -> bytes:
+    validate_entropy(entropy)
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     typecode = typecode_of(arr.type)
@@ -100,8 +115,10 @@ def decode_column(buf: bytes, offset: int = 0) -> tuple[pa.Array, int]:
     if buf[offset:offset + 2] != _MAGIC_COL:
         raise ValueError("bad column magic")
     version, typecode, codec_id, flags = buf[offset + 2:offset + 6]
-    if version != _VERSION:
+    if version not in _DECODABLE_VERSIONS:
         raise ValueError(f"unsupported column frame version {version}")
+    if flags & ~_KNOWN_FLAGS:
+        raise ValueError(f"unknown column frame flags 0x{flags:02x}")
     n = _U64.unpack_from(buf, offset + 6)[0]
     off = offset + 14
     valid = None

@@ -12,6 +12,7 @@ from .core import (
     merge_union_all,
     rowid_merge_join,
     extended_sort,
+    with_rowid,
 )
 
 __all__ = [
@@ -24,4 +25,5 @@ __all__ = [
     "merge_union_all",
     "rowid_merge_join",
     "extended_sort",
+    "with_rowid",
 ]

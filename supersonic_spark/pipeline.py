@@ -70,6 +70,10 @@ class EncodeConfig:
     # throughput for ~17.5%; None = lightweight codecs only.
     entropy: str | None = "lz4"
 
+    def __post_init__(self) -> None:
+        from .codecs.framing import validate_entropy
+        validate_entropy(self.entropy)  # fail at config time, not in tasks
+
     def config_hash(self, fingerprint: str) -> str:
         blob = json.dumps({
             "n_partitions": self.n_partitions, "chunk_rows": self.chunk_rows,

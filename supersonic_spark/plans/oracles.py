@@ -583,12 +583,67 @@ SELECT event_id,
 FROM events
 """
 
+ORACLES["expr_string2"] = """
+SELECT c_custkey,
+       right(c_name, 5) AS name_tail,
+       left(c_name, 4) AS name_head,
+       lpad(c_mktsegment, 12, '*') AS seg_lpad,
+       rpad(c_mktsegment, 12, '*') AS seg_rpad,
+       repeat(substring(c_name, 1, 2), 3) AS rep2,
+       reverse(c_mktsegment) AS seg_rev,
+       format('{:,}', CAST(round(c_acctbal*100,0) AS BIGINT)) AS bal_fmt
+FROM customer
+"""
+
+# DuckDB has no hyperbolic functions — exp/ln identities, rounded to 4dp
+ORACLES["expr_math3"] = """
+SELECT event_id,
+       round((exp(x) - exp(-x))/2, 4) AS sh,
+       round((exp(x) + exp(-x))/2, 4) AS ch,
+       round((exp(x) - exp(-x))/(exp(x) + exp(-x)), 4) AS th,
+       round(ln(x + sqrt(x*x + 1)), 4) AS ash,
+       round(ln((x+1) + sqrt((x+1)*(x+1) - 1)), 4) AS ach,
+       round(0.5*ln((1 + x/20)/(1 - x/20)), 4) AS ath,
+       isinf(inf_mix) AS is_inf,
+       (isfinite(inf_mix) AND inf_mix <> 0) AS is_normal,
+       round(degrees(x), 4) AS deg,
+       round(radians(value), 4) AS rad,
+       round(cbrt(value), 4) AS cbr
+FROM (
+  SELECT event_id, value, value/50 AS x,
+         CASE WHEN value > 50 THEN exp(1000.0) ELSE value END AS inf_mix
+  FROM events)
+"""
+
+ORACLES["expr_make_datetime"] = """
+SELECT event_id,
+       make_timestamp(CAST(year(ts) AS BIGINT), CAST(month(ts) AS BIGINT),
+                      CAST(day(ts) AS BIGINT), CAST(hour(ts) AS BIGINT),
+                      CAST(minute(ts) AS BIGINT),
+                      CAST(floor(second(ts)) AS DOUBLE)) AS ts_made,
+       ts AT TIME ZONE 'UTC' AT TIME ZONE 'Asia/Kolkata' AS ist_wall,
+       ts AT TIME ZONE 'Asia/Kolkata' AT TIME ZONE 'UTC' AS utc_from_ist,
+       CAST(date_diff('day', DATE '1995-01-01', CAST(ts AS DATE))
+            AS INTEGER) AS days_since,
+       CAST(weekofyear(ts) AS INTEGER) AS woy
+FROM events
+"""
+
 ORACLES["jobspec_declarative"] = """
 SELECT o_orderpriority, count(*) AS n,
        CAST(SUM(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM orders WHERE o_orderstatus = 'O'
 GROUP BY o_orderpriority
 ORDER BY sum_cents DESC LIMIT 3
+"""
+
+ORACLES["enum_roundtrip"] = """
+WITH sym AS (
+  SELECT s, CAST(row_number() OVER (ORDER BY s) - 1 AS INTEGER) AS code
+  FROM (SELECT DISTINCT o_orderpriority AS s FROM orders
+        WHERE o_orderpriority IS NOT NULL))
+SELECT o.o_orderkey, sym.code AS prio_code, sym.s AS prio_sym
+FROM orders o JOIN sym ON o.o_orderpriority = sym.s
 """
 
 ORACLES["spy_observe"] = """
@@ -644,6 +699,56 @@ FROM events
 """
 
 ORACLES["ann_ivf_topk"] = ORACLES["ann_topk"]
+ORACLES["ann_topk_arrow"] = ORACLES["ann_topk"]
+ORACLES["ann_ivf_topk_arrow"] = ORACLES["ann_topk"]
+
+
+ORACLES["ann_topk_multi"] = """
+WITH qs AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+            FROM embeddings WHERE vec_id IN (0, 1, 2)),
+scored AS (
+  SELECT CAST(q.query_id AS INTEGER) AS query_id, e.vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 4)
+           AS cos_sim
+  FROM embeddings e CROSS JOIN qs q)
+SELECT query_id, vec_id, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, vec_id) AS rk
+  FROM scored)
+WHERE rk <= 10
+"""
+
+
+def _lsh_topk_oracle(n_planes: int = 8, dim: int = 64, k: int = 20) -> str:
+    """Replicates lsh_topk_arrow in SQL: the deterministic ±1 hyperplane
+    weights (same md5-derived signs as supersonic_spark.ann.plane_matrix)
+    are inlined as DOUBLE[] literals; bucket = sum of sign bits."""
+    from supersonic_spark.ann import _plane_sign
+
+    def bucket(vec_expr: str) -> str:
+        terms = []
+        for p in range(n_planes):
+            w = "[" + ", ".join(
+                "1.0" if _plane_sign(p, j) else "-1.0"
+                for j in range(dim)) + "]"
+            terms.append(f"(CASE WHEN list_dot_product({vec_expr}, {w}) > 0 "
+                         f"THEN {1 << p} ELSE 0 END)")
+        return " + ".join(terms)
+
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+b AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+             {bucket("embedding::DOUBLE[]")} AS bucket
+      FROM embeddings),
+qb AS (SELECT {bucket("qe")} AS bucket FROM q)
+SELECT vec_id,
+       round(list_cosine_similarity(e, (SELECT qe FROM q)), 4) AS cos_sim
+FROM b WHERE bucket = (SELECT bucket FROM qb)
+ORDER BY cos_sim DESC, vec_id ASC LIMIT {k}
+"""
+
+
+ORACLES["lsh_topk"] = _lsh_topk_oracle()
 
 ORACLES["grouping_sets"] = """
 SELECT l_returnflag, l_linestatus,

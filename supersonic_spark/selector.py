@@ -78,7 +78,18 @@ def column_stats(arr: pa.Array | pa.ChunkedArray) -> ColumnStats:
             p = counts[counts > 0] / len(buf)
             entropy = float(-(p * np.log2(p)).sum())
     else:
-        mean_run = 1.0
+        # floats/bools: adjacent-equality runs on the raw bit view so the
+        # rle branch is reachable for repetitive float columns (and NaN
+        # runs count — NaN != NaN at value level but bits are equal)
+        v = s.to_numpy(zero_copy_only=False)
+        if v.dtype == np.float64:
+            bits = v.view(np.uint64)
+        elif v.dtype == np.float32:
+            bits = v.view(np.uint32)
+        else:
+            bits = v.astype(np.uint8)
+        changes = int((bits[1:] != bits[:-1]).sum()) + 1 if ns > 1 else 1
+        mean_run = ns / changes
     return ColumnStats(n, n_distinct, float(mean_run), entropy,
                        sortedness, delta_bits, range_bits)
 
