@@ -140,3 +140,36 @@ def test_float_rle_selector_reachable():
     a = np.asarray(arr, dtype=np.float64).view(np.uint64)
     b = np.asarray(out.cast(pa.float64()), dtype=np.float64).view(np.uint64)
     assert (a == b).all()
+
+
+def test_interrupt_cancels_job_group(spark):
+    import threading
+    import time as _time
+
+    from supersonic_spark.interrupt import (interrupt, job_group,
+                                            was_interrupted)
+
+    # a slow job: per-row sleep via a python kernel
+    def slow(batches):
+        import time
+        for b in batches:
+            time.sleep(30)
+            yield b
+
+    df = spark.range(64).repartition(4).mapInArrow(slow, schema="id long")
+    err: list = []
+
+    def run():
+        try:
+            with job_group(spark, "ss-interrupt-test", "cancellation test"):
+                df.write.format("noop").mode("overwrite").save()
+        except BaseException as e:  # Py4J raises Exception subclasses
+            err.append(e)
+
+    t = threading.Thread(target=run)
+    t.start()
+    _time.sleep(3)  # let tasks start
+    interrupt(spark, "ss-interrupt-test")
+    t.join(30)
+    assert not t.is_alive(), "job did not cancel"
+    assert err and was_interrupted(err[0]), err

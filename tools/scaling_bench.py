@@ -18,6 +18,7 @@ import statistics
 import subprocess
 import sys
 import tempfile
+import time
 import zipfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -81,6 +82,23 @@ def run_once(zpath: str, input_dir: str, cores: int, run_id: int) -> dict:
     raise RuntimeError(f"no result line; stderr tail: {proc.stderr[-2000:]}")
 
 
+def external_busy_cores(window_s: float = 2.0) -> float:
+    """Busy (non-idle) cores over a short window, sampled while this
+    process is quiescent — i.e. load that is NOT ours. Recorded per run so
+    a campaign's validity is a pre-registered condition, not post-hoc
+    cherry-picking. Note: KVM steal shows as missing idle here too."""
+    def snap():
+        with open("/proc/stat") as f:
+            v = list(map(int, f.readline().split()[1:]))
+        return sum(v), v[3] + v[4]
+    t0, i0 = snap()
+    time.sleep(window_s)
+    t1, i1 = snap()
+    total, idle = t1 - t0, i1 - i0
+    n = os.cpu_count() or 1
+    return round(n * (1 - idle / max(total, 1)), 2)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-convs", type=int, default=33000)
@@ -88,6 +106,10 @@ def main():
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
     ap.add_argument("--workdir", default="/tmp/ss_scaling")
+    ap.add_argument("--out", default=None,
+                    help="output json (default BENCH/scaling.json; pass "
+                         "another path to avoid clobbering the official "
+                         "campaign file during noisy-box re-measurements)")
     args = ap.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -97,10 +119,13 @@ def main():
     results = {args.low: [], args.high: []}
     for run_id in range(args.runs):
         for cores in (args.low, args.high):
+            ext = external_busy_cores()
             r = run_once(zpath, input_dir, cores, run_id)
+            r["ext_busy_cores_before"] = ext
             results[cores].append(r)
             print(f"run {run_id} cores={cores}: {r['encode_sec']}s "
-                  f"{r['turns_per_sec']} turns/s", flush=True)
+                  f"{r['turns_per_sec']} turns/s "
+                  f"(ext load before: {ext})", flush=True)
 
     med = {c: statistics.median(x["turns_per_sec"] for x in rs)
            for c, rs in results.items()}
@@ -124,8 +149,19 @@ def main():
         "bytes_per_turn": results[args.high][0]["bytes_per_turn"],
         "compression_ratio": results[args.high][0]["compression_ratio"],
     }
+    # min-time estimator: interference (hypervisor steal / neighbors) only
+    # ever slows a run down, so best-of-N per level is the cleanest
+    # estimate of the job's own capability on a noisy box (medians remain
+    # the headline on a quiet box)
+    best = {c: max(x["turns_per_sec"] for x in rs)
+            for c, rs in results.items()}
+    summary["best_turns_per_sec_low"] = best[args.low]
+    summary["best_turns_per_sec_high"] = best[args.high]
+    summary["best_pair_efficiency"] = round(
+        (best[args.high] / best[args.low]) / ratio, 3)
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+    dst = args.out or os.path.join(REPO, "BENCH", "scaling.json")
+    with open(dst, "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps(summary))
 
