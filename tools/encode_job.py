@@ -34,7 +34,12 @@ def main():
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession, functions as F
-    spark = SparkSession.builder.getOrCreate()
+    # 64k-row Arrow transfer batches (same as session.get_spark): the
+    # spark-submit default of 10k quadruples JVM<->Python IPC round-trips
+    # in the encode kernel's hot path
+    spark = (SparkSession.builder
+             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+             .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
     cores = spark.sparkContext.defaultParallelism
 
