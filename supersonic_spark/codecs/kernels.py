@@ -232,6 +232,96 @@ def decode_delta_bitpack(buf: bytes, n: int, typecode: int) -> pa.Array:
     return _from_numpy(vals, typecode)
 
 
+# --- patched frame-of-reference over deltas (PFOR-delta) ----------------------
+#
+# Zukowski et al.'s PFOR applied to zigzag deltas: pack every delta at a
+# width chosen to minimize total size; the few outliers (conversation
+# boundaries in (conv_id, turn_idx)-sorted data) are stored as explicit
+# (position, value) exceptions. Generalizes delta_bitpack (whose single
+# width is dictated by the worst delta) to heavy-tailed delta
+# distributions — e.g. conv-sorted ts: typical delta 29-30 bits, boundary
+# delta 46+ bits.
+
+def pfor_width_cost(zz_bits_hist: np.ndarray, n: int) -> tuple[int, int]:
+    """(best width, payload bits) minimizing n*w + n_exceptions(w)*80
+    (an exception costs ~a packed position + a 64-bit value)."""
+    cum = np.cumsum(zz_bits_hist)          # values with bit_length <= w
+    best_w, best_cost = 64, n * 64
+    for w in range(0, 65):
+        covered = cum[w] if w < len(cum) else n
+        cost = n * w + (n - covered) * 80
+        if cost < best_cost:
+            best_w, best_cost = w, cost
+    return best_w, best_cost
+
+
+def _bit_lengths(zz: np.ndarray) -> np.ndarray:
+    """bit_length of each uint64 (0 -> 0), vectorized."""
+    out = np.zeros(len(zz), dtype=np.int64)
+    v = zz.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        big = v >= (np.uint64(1) << np.uint64(shift))
+        out[big] += shift
+        v[big] >>= np.uint64(shift)
+    out[zz > 0] += 1
+    return out
+
+
+def encode_pfor_delta(arr: pa.Array, typecode: int) -> bytes:
+    if typecode not in INT_TYPECODES:
+        raise ValueError("pfor_delta requires an integer-like column")
+    v = _as_numpy(arr, typecode).astype(np.int64)
+    n = len(v)
+    if n <= 1:
+        first = int(v[0]) if n else 0
+        return (_I64.pack(first) + _U64.pack(n) + bytes([0])
+                + pack_ints_block(np.zeros(0, dtype=np.int64))
+                + pack_ints_block(np.zeros(0, dtype=np.int64)))
+    deltas = np.diff(v)
+    zz = zigzag_encode(deltas)
+    bits = _bit_lengths(zz)
+    hist = np.bincount(bits, minlength=65)
+    width, _ = pfor_width_cost(hist, n - 1)
+    exc = bits > width
+    exc_pos = np.nonzero(exc)[0].astype(np.int64)
+    exc_val = zz[exc].view(np.int64)
+    packed_vals = np.where(exc, np.uint64(0), zz)
+    payload = pack_uints(packed_vals, width)
+    pos_block = pack_ints_block(exc_pos)
+    val_block = pack_ints_block(exc_val)
+    return (_I64.pack(int(v[0])) + _U64.pack(n) + bytes([width])
+            + _U64.pack(len(payload)) + payload
+            + _U64.pack(len(pos_block)) + pos_block + val_block)
+
+
+def decode_pfor_delta(buf: bytes, n: int, typecode: int) -> pa.Array:
+    first = _I64.unpack_from(buf, 0)[0]
+    n_stored = _U64.unpack_from(buf, 8)[0]
+    if n_stored == 0:
+        return _from_numpy(np.zeros(0, dtype=np.int64), typecode)
+    if n_stored == 1:
+        return _from_numpy(np.array([first], dtype=np.int64), typecode)
+    width = buf[16]
+    off = 17
+    plen = _U64.unpack_from(buf, off)[0]
+    off += 8
+    zz = unpack_uints(buf[off:off + plen], n_stored - 1, width)
+    off += plen
+    pos_len = _U64.unpack_from(buf, off)[0]
+    off += 8
+    exc_pos, _ = unpack_ints_block(buf, off)
+    off += pos_len
+    exc_val, _ = unpack_ints_block(buf, off)
+    if len(exc_pos):
+        zz[exc_pos] = exc_val.view(np.uint64)
+    deltas = zigzag_decode(zz)
+    vals = np.empty(n_stored, dtype=np.int64)
+    vals[0] = first
+    np.cumsum(deltas, out=vals[1:])
+    vals[1:] += first
+    return _from_numpy(vals, typecode)
+
+
 # --- FSST-style symbol-table text compression ---------------------------------
 
 _FSST_SAMPLE = 1 << 16    # 64 KiB sample for symbol mining
@@ -476,7 +566,7 @@ def decode_tokdict(buf: bytes, n: int, typecode: int) -> pa.Array:
 CODEC_IDS = {
     "plain": 0, "constant": 1, "dict": 2, "rle": 3,
     "for_bitpack": 4, "delta_bitpack": 5, "fsst": 6, "tokdict": 7,
-    "fixedpoint": 8, "bss": 9, "xor_bss": 10,
+    "fixedpoint": 8, "bss": 9, "xor_bss": 10, "pfor_delta": 11,
 }
 CODEC_NAMES = {v: k for k, v in CODEC_IDS.items()}
 
@@ -484,11 +574,13 @@ _ENCODERS = {
     0: encode_plain, 1: encode_constant, 2: encode_dict, 3: encode_rle,
     4: encode_for_bitpack, 5: encode_delta_bitpack, 6: encode_fsst,
     7: encode_tokdict, 8: encode_fixedpoint, 9: encode_bss, 10: encode_xor_bss,
+    11: encode_pfor_delta,
 }
 _DECODERS = {
     0: decode_plain, 1: decode_constant, 2: decode_dict, 3: decode_rle,
     4: decode_for_bitpack, 5: decode_delta_bitpack, 6: decode_fsst,
     7: decode_tokdict, 8: decode_fixedpoint, 9: decode_bss, 10: decode_xor_bss,
+    11: decode_pfor_delta,
 }
 
 
@@ -497,4 +589,8 @@ def encode_values(arr: pa.Array, codec: str, typecode: int) -> bytes:
 
 
 def decode_values(buf: bytes, n: int, codec_id: int, typecode: int) -> pa.Array:
-    return _DECODERS[codec_id](buf, n, typecode)
+    dec = _DECODERS.get(codec_id)
+    if dec is None:
+        raise ValueError(f"unknown codec id {codec_id} "
+                         "(frame written by a newer encoder?)")
+    return dec(buf, n, typecode)

@@ -34,6 +34,7 @@ class ColumnStats:
     sortedness: float        # fraction of non-decreasing steps (ints, sampled)
     delta_bits: int          # bit width of max zigzag delta (ints, sampled)
     range_bits: int          # bit width of (max-min) (ints, sampled)
+    pfor_gain: float = 1.0   # est. for_bitpack bits / PFOR-delta bits (ints)
 
 
 def _sample(arr: pa.Array) -> pa.Array:
@@ -69,6 +70,7 @@ def column_stats(arr: pa.Array | pa.ChunkedArray) -> ColumnStats:
     c = _contig_sample(dense)   # adjacency-sensitive stats
     nc = len(c)
     sortedness, delta_bits, range_bits, entropy = 1.0, 0, 0, 0.0
+    pfor_gain = 1.0
     if typecode in INT_TYPECODES:
         v = s.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.int64)
         range_bits = int(v.max() - v.min()).bit_length()
@@ -78,6 +80,18 @@ def column_stats(arr: pa.Array | pa.ChunkedArray) -> ColumnStats:
             sortedness = float((d >= 0).mean())
             delta_bits = int(np.abs(d).max()).bit_length() + 1
             changes = int((d != 0).sum()) + 1
+            # estimated PFOR-delta bits/value (optimal width + exception
+            # cost) vs for_bitpack's range_bits/value
+            from .codecs.bitutil import zigzag_encode
+            from .codecs.kernels import _bit_lengths, pfor_width_cost
+            zz = zigzag_encode(d)
+            hist = np.bincount(_bit_lengths(zz), minlength=65)
+            _w, cost_bits = pfor_width_cost(hist, nc - 1)
+            pfor_per_val = cost_bits / (nc - 1)
+            if pfor_per_val > 0:
+                pfor_gain = range_bits / pfor_per_val
+            elif range_bits > 0:
+                pfor_gain = float("inf")
         else:
             changes = 1
         mean_run = nc / changes
@@ -108,7 +122,7 @@ def column_stats(arr: pa.Array | pa.ChunkedArray) -> ColumnStats:
         changes = int((bits[1:] != bits[:-1]).sum()) + 1 if nc > 1 else 1
         mean_run = nc / changes
     return ColumnStats(n, n_distinct, float(mean_run), entropy,
-                       sortedness, delta_bits, range_bits)
+                       sortedness, delta_bits, range_bits, pfor_gain)
 
 
 def _token_repeat_ratio(dense: pa.Array) -> float:
@@ -165,6 +179,11 @@ def choose_codec(arr: pa.Array | pa.ChunkedArray,
             return "rle", st
         if st.sortedness >= 0.95 and st.delta_bits + 2 < st.range_bits:
             return "delta_bitpack", st
+        # heavy-tailed deltas (sorted-within-group data with group-boundary
+        # jumps, e.g. conv-sorted ts): patched FOR over deltas beats packing
+        # every value at range_bits
+        if st.pfor_gain >= 1.3:
+            return "pfor_delta", st
         if st.range_bits < 63:
             return "for_bitpack", st
         return "plain", st

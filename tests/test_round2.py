@@ -173,3 +173,34 @@ def test_interrupt_cancels_job_group(spark):
     t.join(30)
     assert not t.is_alive(), "job did not cancel"
     assert err and was_interrupted(err[0]), err
+
+
+def test_pfor_delta_heavy_tail_selection_and_size():
+    import supersonic_spark.codecs as C
+    from supersonic_spark.selector import choose_codec
+    # sorted-within-group values with group-boundary jumps (conv-sorted ts
+    # shape): small per-row steps, occasional huge resets
+    rng = np.random.RandomState(3)
+    groups = []
+    base = 1_700_000_000_000_000
+    for g in range(400):
+        start = base + int(rng.randint(0, 2**45))
+        steps = rng.randint(1_000_000, 60_000_000, size=40).cumsum()
+        groups.append(start + steps)
+    v = np.concatenate(groups).astype(np.int64)
+    arr = pa.array(v, pa.int64())
+    codec, st = choose_codec(arr)
+    assert codec == "pfor_delta", (codec, st)
+    buf_pfor = C.encode_column(arr, "pfor_delta")
+    buf_for = C.encode_column(arr, "for_bitpack")
+    assert len(buf_pfor) < 0.8 * len(buf_for)
+    out, _ = C.decode_column(buf_pfor)
+    assert out.equals(arr)
+
+
+def test_unknown_codec_id_clean_error():
+    import supersonic_spark.codecs as C
+    buf = bytearray(C.encode_column(pa.array([1, 2, 3]), "plain"))
+    buf[4] = 250  # codec id byte
+    with pytest.raises(ValueError, match="unknown codec id"):
+        C.decode_column(bytes(buf))
