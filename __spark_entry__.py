@@ -756,6 +756,16 @@ def q_dedup_lsh_pairs(spark, sf):
     return minhash_lsh_pairs(d, "text", "doc_id", k=8, bands=4, shingle_n=1)
 
 
+def q_dedup_clusters(spark, sf):
+    # transitive closure of LSH candidate pairs -> duplicate clusters
+    # (min-label propagation; oracle = DuckDB recursive CTE reachability)
+    from supersonic_spark.operators.graph import connected_components
+    from supersonic_spark.text.dedup import minhash_lsh_pairs
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    pairs = minhash_lsh_pairs(d, "text", "doc_id", k=8, bands=4, shingle_n=1)
+    return connected_components(pairs)
+
+
 def q_dedup_exact(spark, sf):
     from supersonic_spark.text import exact_dedup
     return exact_dedup(_t(spark, sf, "documents"), "text", "doc_id")
@@ -1108,6 +1118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "splitter_reuse": q_splitter_reuse,
         "udaf_grouped": q_udaf_grouped,
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_simhash": q_dedup_simhash,

@@ -689,6 +689,40 @@ WHERE a.doc_id < b.doc_id
 GROUP BY 1, 2
 """
 
+# connected components of the LSH pair graph: recursive-CTE reachability
+# closure (min reachable id per node) over the same pairs as
+# dedup_lsh_pairs
+ORACLES["dedup_clusters"] = f"""
+WITH RECURSIVE
+toks AS (
+  SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS t
+  FROM documents WHERE doc_id < 200),
+sh AS (
+  SELECT doc_id, unnest(t) AS shingle FROM toks),
+hashed AS (
+  SELECT doc_id, k.i AS i,
+         {_H.format(x="shingle || '#' || k.i")} AS h
+  FROM sh, UNNEST(generate_series(0, 7)) AS k(i)),
+sig AS (SELECT doc_id, i, MIN(h) AS minhash FROM hashed GROUP BY doc_id, i),
+banded AS (
+  SELECT doc_id, CAST(i // 2 AS INTEGER) AS band,
+         string_agg(i || ':' || minhash, ',' ORDER BY i) AS band_key
+  FROM sig GROUP BY doc_id, band),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+SELECT id, CAST(MIN(r) AS BIGINT) AS cluster_id
+FROM reach GROUP BY id
+"""
+
 ORACLES["expr_parse_datetime"] = """
 SELECT event_id,
        strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S')

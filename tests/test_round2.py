@@ -204,3 +204,17 @@ def test_unknown_codec_id_clean_error():
     buf[4] = 250  # codec id byte
     with pytest.raises(ValueError, match="unknown codec id"):
         C.decode_column(bytes(buf))
+
+
+def test_connected_components_shapes(spark):
+    from supersonic_spark.operators.graph import (connected_components,
+                                                  dedup_representatives)
+    # two components {1,2,3,7} (chain) and {10,11}; 99 isolated (absent)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 7), (10, 11)], "id_a long, id_b long")
+    cc = {r["id"]: r["cluster_id"]
+          for r in connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
+    reps = {r["rep_id"]: r["n_members"]
+            for r in dedup_representatives(pairs).collect()}
+    assert reps == {1: 4, 10: 2}
