@@ -69,6 +69,12 @@ class EncodeConfig:
     # cost (the saved block I/O pays for the compressor); "zstd" trades ~5%
     # throughput for ~17.5%; None = lightweight codecs only.
     entropy: str | None = "lz4"
+    # sort partitions inside the Arrow kernel (C++ sort_indices, overlaps
+    # the shuffle read and scales with workers) instead of a JVM
+    # sortWithinPartitions — measured: the Tungsten string-key sort is the
+    # dominant non-scaling CPU stage on many-core single-box runs. Costs
+    # one whole-partition buffer in the worker (size partitions to memory).
+    sort_in_kernel: bool = False
 
     def __post_init__(self) -> None:
         from .codecs.framing import validate_entropy
@@ -76,6 +82,7 @@ class EncodeConfig:
 
     def config_hash(self, fingerprint: str) -> str:
         blob = json.dumps({
+            "sort_in_kernel": self.sort_in_kernel,
             "n_partitions": self.n_partitions, "chunk_rows": self.chunk_rows,
             "salt_threshold": self.salt_threshold, "salt_block": self.salt_block,
             "sort_keys": list(self.sort_keys),
@@ -87,7 +94,8 @@ class EncodeConfig:
 
 
 def _encoder(out_dir: str, cfg_hash: str, overrides: dict[str, str],
-             chunk_rows: int, entropy: str | None = None):
+             chunk_rows: int, entropy: str | None = None,
+             sort_keys: tuple[str, ...] | None = None):
     """mapInArrow kernel: encode this partition's rows into one block file."""
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -161,18 +169,28 @@ def _encoder(out_dir: str, cfg_hash: str, overrides: dict[str, str],
                         })
                     chunk_id += 1
 
-            for batch in batches:
-                pending.append(batch)
-                pending_rows += batch.num_rows
-                if pending_rows >= chunk_rows:
-                    tbl = pa.Table.from_batches(pending)
-                    full = (tbl.num_rows // chunk_rows) * chunk_rows
-                    flush(tbl.slice(0, full))
-                    rest = tbl.slice(full)
-                    pending = rest.to_batches() if rest.num_rows else []
-                    pending_rows = rest.num_rows
-            if pending_rows:
-                flush(pa.Table.from_batches(pending))
+            if sort_keys:
+                # buffer the whole partition, one C++ sort, then chunk —
+                # replaces the JVM sortWithinPartitions
+                buffered = list(batches)
+                if buffered:
+                    tbl = pa.Table.from_batches(buffered)
+                    del buffered
+                    tbl = tbl.sort_by([(k, "ascending") for k in sort_keys])
+                    flush(tbl)
+            else:
+                for batch in batches:
+                    pending.append(batch)
+                    pending_rows += batch.num_rows
+                    if pending_rows >= chunk_rows:
+                        tbl = pa.Table.from_batches(pending)
+                        full = (tbl.num_rows // chunk_rows) * chunk_rows
+                        flush(tbl.slice(0, full))
+                        rest = tbl.slice(full)
+                        pending = rest.to_batches() if rest.num_rows else []
+                        pending_rows = rest.num_rows
+                if pending_rows:
+                    flush(pa.Table.from_batches(pending))
 
         if chunk_id == 0:
             os.remove(tmp_path)  # skip empty partitions (reference rejects
@@ -221,7 +239,8 @@ def _manifest_batch(rows: list[dict]) -> pa.RecordBatch:
     return pa.RecordBatch.from_pydict(arrays)
 
 
-def salted_repartition(df: DataFrame, cfg: EncodeConfig) -> DataFrame:
+def salted_repartition(df: DataFrame, cfg: EncodeConfig,
+                       sort_within: bool = True) -> DataFrame:
     """Explicit skew handling: conversations larger than salt_threshold get
     a secondary split key so one mega-conversation spreads over multiple
     partitions; everyone else keeps salt 0. Decode order is restored from
@@ -229,8 +248,8 @@ def salted_repartition(df: DataFrame, cfg: EncodeConfig) -> DataFrame:
     conv, order = cfg.conv_key, cfg.order_key
     if order not in df.columns:
         # no secondary order column -> skew salting unavailable; single key
-        return (df.repartition(cfg.n_partitions, F.col(conv))
-                  .sortWithinPartitions(*cfg.sort_keys))
+        out = df.repartition(cfg.n_partitions, F.col(conv))
+        return out.sortWithinPartitions(*cfg.sort_keys) if sort_within else out
     counts = df.groupBy(conv).count()
     skewed = counts.filter(F.col("count") > cfg.salt_threshold).select(conv)
     df2 = df.join(F.broadcast(skewed.withColumn("_skew", F.lit(True))),
@@ -240,10 +259,10 @@ def salted_repartition(df: DataFrame, cfg: EncodeConfig) -> DataFrame:
         F.when(F.col("_skew").isNotNull(),
                (F.col(order) / F.lit(cfg.salt_block)).cast("int"))
          .otherwise(F.lit(0)))
-    out = (df2.repartition(cfg.n_partitions, F.col(conv), F.col("_salt"))
-              .sortWithinPartitions(*cfg.sort_keys)
-              .drop("_skew", "_salt"))
-    return out
+    out = df2.repartition(cfg.n_partitions, F.col(conv), F.col("_salt"))
+    if sort_within:
+        out = out.sortWithinPartitions(*cfg.sort_keys)
+    return out.drop("_skew", "_salt")
 
 
 def encode_table(spark: SparkSession, df: DataFrame, out_dir: str,
@@ -261,7 +280,8 @@ def encode_table(spark: SparkSession, df: DataFrame, out_dir: str,
     os.makedirs(out_dir, exist_ok=True)
     cfg_hash = cfg.config_hash(fingerprint)
 
-    arranged = salted_repartition(df, cfg)
+    arranged = salted_repartition(df, cfg,
+                                  sort_within=not cfg.sort_in_kernel)
     meta = {
         "spark_schema": df.schema.jsonValue(),
         "config_hash": cfg_hash,
@@ -275,7 +295,8 @@ def encode_table(spark: SparkSession, df: DataFrame, out_dir: str,
 
     manifest = arranged.mapInArrow(
         _encoder(out_dir, cfg_hash, cfg.codec_overrides, cfg.chunk_rows,
-                 entropy=cfg.entropy),
+                 entropy=cfg.entropy,
+                 sort_keys=cfg.sort_keys if cfg.sort_in_kernel else None),
         schema=MANIFEST_SCHEMA)
     manifest.write.mode("overwrite").parquet(os.path.join(out_dir, "manifest"))
     return spark.read.parquet(os.path.join(out_dir, "manifest"))

@@ -26,6 +26,9 @@ def main():
                          "(changed input invalidates checkpoints)")
     ap.add_argument("--n-partitions", type=int, default=None)
     ap.add_argument("--chunk-rows", type=int, default=65536)
+    ap.add_argument("--sort-in-kernel", action="store_true",
+                    help="partition sort inside the Arrow kernel instead of "
+                         "JVM sortWithinPartitions (see EncodeConfig)")
     ap.add_argument("--verify", action="store_true",
                     help="decode + full bit-identity check after encode")
     ap.add_argument("--warmup", action="store_true",
@@ -55,7 +58,8 @@ def main():
         args.fingerprint = table_fingerprint(spark, args.input)
 
     cfg = EncodeConfig(n_partitions=args.n_partitions or 2 * cores,
-                       chunk_rows=args.chunk_rows)
+                       chunk_rows=args.chunk_rows,
+                       sort_in_kernel=args.sort_in_kernel)
     if args.warmup:
         import shutil
         import tempfile
