@@ -790,6 +790,22 @@ def q_ngram_jaccard(spark, sf):
                                n=1, threshold=0.5)
 
 
+def q_pack_sequences(spark, sf):
+    # token-budget training-bin assignment (cumulative-sum binning per
+    # source; docs overflow bin boundaries rather than split)
+    from supersonic_spark.text.curate import pack_sequences
+    d = _t(spark, sf, "documents")
+    return pack_sequences(d, 500, group_col="source")
+
+
+def q_mix_sources(spark, sf):
+    # deterministic weighted training-mix subsample (hash-bucket keep)
+    from supersonic_spark.text.curate import mix_sources
+    d = _t(spark, sf, "documents")
+    return mix_sources(d, {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+                       source_col="source").select("doc_id", "source")
+
+
 def q_text_token_count(spark, sf):
     from supersonic_spark.text import token_count
     d = _t(spark, sf, "documents").filter(F.length("text") > 0)
@@ -1124,6 +1140,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "text_token_count": q_text_token_count,
+        "pack_sequences": q_pack_sequences,
+        "mix_sources": q_mix_sources,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "doc_fingerprint": q_doc_fingerprint,

@@ -430,6 +430,31 @@ JOIN sizes sb ON sb.doc_id = id_b
 WHERE round(n_inter / (sa.sz + sb.sz - n_inter), 4) >= 0.5
 """
 
+ORACLES["pack_sequences"] = """
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END
+              AS INTEGER) AS n_tokens
+  FROM documents)
+SELECT source, doc_id, n_tokens,
+       CAST(floor(coalesce(SUM(n_tokens) OVER (
+              PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            / 500) AS BIGINT) AS bin_id
+FROM t
+"""
+
+ORACLES["mix_sources"] = f"""
+SELECT doc_id, source FROM documents
+WHERE (source = 'src0'
+       AND {_H.format(x="source || '#' || doc_id")} % 10000 < 10000)
+   OR (source = 'src1'
+       AND {_H.format(x="source || '#' || doc_id")} % 10000 < 5000)
+   OR (source = 'src2'
+       AND {_H.format(x="source || '#' || doc_id")} % 10000 < 2500)
+"""
+
 ORACLES["text_token_count"] = """
 SELECT doc_id,
        CAST(CASE WHEN length(trim(text)) = 0 THEN 0

@@ -231,3 +231,33 @@ def test_sort_in_kernel_roundtrip(spark, tmp_path):
                  EncodeConfig(n_partitions=4, sort_in_kernel=True),
                  fingerprint="sik-test")
     assert roundtrip_mismatch_count(df, decode_table(spark, d)) == 0
+
+
+def test_pack_sequences_ungrouped_scalable_path(spark):
+    from supersonic_spark.text.curate import pack_sequences
+    docs = [(i, " ".join(["w"] * (5 + i % 7))) for i in range(200)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_tokens"], r["bin_id"])
+           for r in pack_sequences(df, 100, group_col=None).collect()}
+    # reference: sequential cumulative binning in plain python
+    acc = 0
+    for i in range(200):
+        ntok = 5 + i % 7
+        assert out[i] == (ntok, acc // 100), (i, out[i], acc)
+        acc += ntok
+    # bins are contiguous from 0 (no gaps)
+    bin_ids = sorted({b for _, b in out.values()})
+    assert bin_ids == list(range(len(bin_ids)))
+
+
+def test_mix_sources_deterministic_and_weighted(spark):
+    from supersonic_spark.text.curate import mix_sources
+    rows = [(i, f"s{i % 2}", "x") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    kept = mix_sources(df, {"s0": 1.0, "s1": 0.25}).collect()
+    k0 = sum(1 for r in kept if r["source"] == "s0")
+    k1 = sum(1 for r in kept if r["source"] == "s1")
+    assert k0 == 1000                 # weight 1.0 keeps everything
+    assert 150 < k1 < 350             # ~25% of 1000
+    again = mix_sources(df, {"s0": 1.0, "s1": 0.25}).collect()
+    assert sorted(r["doc_id"] for r in kept) == sorted(r["doc_id"] for r in again)
