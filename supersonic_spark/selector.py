@@ -181,8 +181,11 @@ def choose_codec(arr: pa.Array | pa.ChunkedArray,
             return "delta_bitpack", st
         # heavy-tailed deltas (sorted-within-group data with group-boundary
         # jumps, e.g. conv-sorted ts): patched FOR over deltas beats packing
-        # every value at range_bits
-        if st.pfor_gain >= 1.3:
+        # every value at range_bits. Threshold 1.15: conv-sorted ts chunks
+        # hover around gain ~1.3-1.4 with window-to-window variation, and a
+        # marginal pfor pick is still strictly smaller while a marginal
+        # for_bitpack pick gets stickied across the whole partition
+        if st.pfor_gain >= 1.15:
             return "pfor_delta", st
         if st.range_bits < 63:
             return "for_bitpack", st
