@@ -832,6 +832,25 @@ def q_doc_fingerprint(spark, sf):
                                 F.count("*").alias("n")))
 
 
+def q_curate_corpus(spark, sf):
+    # capstone composite: quality filter + language filter + exact-dedup
+    # representative keep + deterministic mix — the full curation funnel
+    # as one declarative plan (one scan, one dedup shuffle, no UDFs)
+    from supersonic_spark.text import (exact_dedup, langid_expr,
+                                       quality_score)
+    from supersonic_spark.text.curate import mix_sources
+    d = _t(spark, sf, "documents")
+    filtered = (d.withColumn("q", quality_score(F.col("text")))
+                 .withColumn("lg", langid_expr(F.col("text")))
+                 .filter((F.col("q") >= 0.5) & (F.col("lg") == "en")))
+    reps = exact_dedup(filtered, "text", "doc_id") \
+        .select(F.col("rep_id").alias("doc_id"))
+    kept = filtered.join(reps, "doc_id", "left_semi")
+    weights = {f"src{i}": 0.8 for i in range(20)}
+    return (mix_sources(kept, weights, source_col="source")
+            .select("doc_id", "source", F.col("q").alias("quality")))
+
+
 def q_ann_cosine_threshold(spark, sf):
     import pyarrow.parquet as pq
     from supersonic_spark.ann import cosine
@@ -1142,6 +1161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count": q_text_token_count,
         "pack_sequences": q_pack_sequences,
         "mix_sources": q_mix_sources,
+        "curate_corpus": q_curate_corpus,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "doc_fingerprint": q_doc_fingerprint,

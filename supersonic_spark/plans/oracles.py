@@ -517,6 +517,29 @@ SELECT {_H.format(x='norm')} AS fp, CAST(MIN(doc_id) AS BIGINT) AS rep_id,
 FROM n GROUP BY 1
 """
 
+# capstone curation funnel: composes the text_quality, text_langid,
+# dedup_exact and mix_sources oracle logic into one statement
+ORACLES["curate_corpus"] = f"""
+WITH q AS ({{quality}}),
+lg AS ({{langid}}),
+f AS (
+  SELECT d.doc_id, d.source, d.text, q.quality
+  FROM documents d
+  JOIN q ON q.doc_id = d.doc_id
+  JOIN lg ON lg.doc_id = d.doc_id
+  WHERE q.quality >= 0.5 AND lg.lang_guess = 'en'),
+reps AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM f GROUP BY {_H.format(x='text')})
+SELECT f.doc_id, f.source, f.quality
+FROM f JOIN reps ON reps.doc_id = f.doc_id
+WHERE {_H.format(x="f.source || '#' || f.doc_id")} % 10000 < 8000
+"""
+ORACLES["curate_corpus"] = ORACLES["curate_corpus"].format(
+    quality=ORACLES["text_quality"].strip().rstrip(";")
+    .replace("WHERE length(text) > 0", ""),
+    langid=ORACLES["text_langid"])
+
 ORACLES["ann_cosine_threshold"] = """
 SELECT vec_id,
        round(list_cosine_similarity(
