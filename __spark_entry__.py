@@ -536,6 +536,22 @@ def q_asof_join(spark, sf):
     return out.select("event_id", "signup_cents")
 
 
+def q_range_join(spark, sf):
+    # point-in-interval join: events joined to per-user value bands
+    from supersonic_spark.operators.asof import range_join
+    ev = _t(spark, sf, "events").filter(F.col("event_id") < 2000)
+    bands = spark.range(0, 10).select(
+        (F.col("id") % 5).cast("int").alias("band_user"),
+        (F.col("id") * 50.0).alias("lo"),
+        (F.col("id") * 50.0 + 60.0).alias("hi"),
+        F.col("id").alias("band_id"))
+    left = ev.select((F.col("user_id") % 5).cast("int").alias("band_user"),
+                     "event_id", "value")
+    out = range_join(left, bands, "band_user", "value", "lo", "hi")
+    return out.select("event_id", "band_id",
+                      _cents(F.col("value")).alias("value_cents"))
+
+
 def q_cube_agg(spark, sf):
     li = _t(spark, sf, "lineitem")
     return (li.cube("l_returnflag", "l_linestatus")
@@ -1136,6 +1152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stateful_smudge_if": q_stateful_smudge_if,
         "window_rank": q_window_rank,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "cube_agg": q_cube_agg,
         "rollup_agg": q_rollup_agg,
         "grouping_sets": q_grouping_sets,

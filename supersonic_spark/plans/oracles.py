@@ -593,6 +593,20 @@ ASOF LEFT JOIN (
 ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
+ORACLES["range_join"] = """
+WITH bands AS (
+  SELECT CAST(i % 5 AS INTEGER) AS band_user,
+         i * 50.0 AS lo, i * 50.0 + 60.0 AS hi, i AS band_id
+  FROM range(0, 10) t(i)),
+l AS (
+  SELECT CAST(user_id % 5 AS INTEGER) AS band_user, event_id, value
+  FROM events WHERE event_id < 2000)
+SELECT l.event_id, b.band_id,
+       CAST(round(l.value*100, 0) AS BIGINT) AS value_cents
+FROM l JOIN bands b
+  ON l.band_user = b.band_user AND l.value >= b.lo AND l.value <= b.hi
+"""
+
 ORACLES["cube_agg"] = """
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
