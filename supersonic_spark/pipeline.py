@@ -75,6 +75,17 @@ class EncodeConfig:
     # dominant non-scaling CPU stage on many-core single-box runs. Costs
     # one whole-partition buffer in the worker (size partitions to memory).
     sort_in_kernel: bool = False
+    # shuffle + sort on xxhash64(conv_id) (one fixed-width 8-byte key)
+    # instead of the string conv_id itself. The Tungsten string-key sort
+    # was measured as the dominant non-scaling stage (BENCH/BASELINE.md
+    # round-2 profile: 0.74 at 2v8, memory-bus-bound); a long key sorts
+    # via the 8-byte prefix with no record-payload comparisons. A 64-bit
+    # hash collision only interleaves two conversations' rows inside one
+    # partition — decode order is restored from (conv_id, turn_idx) keys,
+    # never from block order, so collisions degrade RLE run lengths for
+    # those two conversations (a few bytes), NEVER correctness. Expected
+    # collisions at 10^12 turns / ~10^10 convs: ~3 pairs.
+    fixed_width_shuffle_key: bool = True
 
     def __post_init__(self) -> None:
         from .codecs.framing import validate_entropy
@@ -83,6 +94,7 @@ class EncodeConfig:
     def config_hash(self, fingerprint: str) -> str:
         blob = json.dumps({
             "sort_in_kernel": self.sort_in_kernel,
+            "fixed_width_shuffle_key": self.fixed_width_shuffle_key,
             "n_partitions": self.n_partitions, "chunk_rows": self.chunk_rows,
             "salt_threshold": self.salt_threshold, "salt_block": self.salt_block,
             "sort_keys": list(self.sort_keys),
@@ -259,6 +271,15 @@ def salted_repartition(df: DataFrame, cfg: EncodeConfig,
         F.when(F.col("_skew").isNotNull(),
                (F.col(order) / F.lit(cfg.salt_block)).cast("int"))
          .otherwise(F.lit(0)))
+    if cfg.fixed_width_shuffle_key and sort_within:
+        # exchange + Tungsten sort on an 8-byte key: the sort prefix IS
+        # the whole primary key, so ordering never touches the string
+        # payload (see EncodeConfig.fixed_width_shuffle_key). Conversations
+        # stay contiguous (64-bit hash); decode order comes from the keys.
+        df2 = df2.withColumn("_ck", F.xxhash64(F.col(conv)))
+        out = df2.repartition(cfg.n_partitions, F.col("_ck"), F.col("_salt"))
+        out = out.sortWithinPartitions(F.col("_ck"), F.col(order))
+        return out.drop("_skew", "_salt", "_ck")
     out = df2.repartition(cfg.n_partitions, F.col(conv), F.col("_salt"))
     if sort_within:
         out = out.sortWithinPartitions(*cfg.sort_keys)

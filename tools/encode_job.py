@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--sort-in-kernel", action="store_true",
                     help="partition sort inside the Arrow kernel instead of "
                          "JVM sortWithinPartitions (see EncodeConfig)")
+    ap.add_argument("--string-sort-key", action="store_true",
+                    help="disable the fixed-width xxhash64 shuffle/sort key "
+                         "(A/B baseline: sort on the string conv_id)")
     ap.add_argument("--verify", action="store_true",
                     help="decode + full bit-identity check after encode")
     ap.add_argument("--warmup", action="store_true",
@@ -59,7 +62,8 @@ def main():
 
     cfg = EncodeConfig(n_partitions=args.n_partitions or 2 * cores,
                        chunk_rows=args.chunk_rows,
-                       sort_in_kernel=args.sort_in_kernel)
+                       sort_in_kernel=args.sort_in_kernel,
+                       fixed_width_shuffle_key=not args.string_sort_key)
     if args.warmup:
         import shutil
         import tempfile
