@@ -75,6 +75,16 @@ class EncodeConfig:
     # dominant non-scaling CPU stage on many-core single-box runs. Costs
     # one whole-partition buffer in the worker (size partitions to memory).
     sort_in_kernel: bool = False
+    # derive the skew salt row-locally from turn_idx instead of a
+    # pre-count scan: rows with turn_idx < salt_threshold keep salt 0, so
+    # every conversation shorter than the threshold stays contiguous, and
+    # only the TAIL of a mega-conversation splits into salt_block slices —
+    # the same partition-size bound as the pre-count design with zero
+    # extra jobs. The pre-count path (groupBy count + broadcast join) was
+    # profiled as a ~3.5 s job whose cost is FLAT in core count (driver/
+    # scheduling bound), i.e. pure scaling-efficiency loss; it remains
+    # available for A/B as skew_precount=True.
+    skew_precount: bool = False
     # shuffle + sort on xxhash64(conv_id) (one fixed-width 8-byte key)
     # instead of the string conv_id itself. The Tungsten string-key sort
     # was measured as the dominant non-scaling stage (BENCH/BASELINE.md
@@ -95,6 +105,7 @@ class EncodeConfig:
         blob = json.dumps({
             "sort_in_kernel": self.sort_in_kernel,
             "fixed_width_shuffle_key": self.fixed_width_shuffle_key,
+            "skew_precount": self.skew_precount,
             "n_partitions": self.n_partitions, "chunk_rows": self.chunk_rows,
             "salt_threshold": self.salt_threshold, "salt_block": self.salt_block,
             "sort_keys": list(self.sort_keys),
@@ -262,15 +273,26 @@ def salted_repartition(df: DataFrame, cfg: EncodeConfig,
         # no secondary order column -> skew salting unavailable; single key
         out = df.repartition(cfg.n_partitions, F.col(conv))
         return out.sortWithinPartitions(*cfg.sort_keys) if sort_within else out
-    counts = df.groupBy(conv).count()
-    skewed = counts.filter(F.col("count") > cfg.salt_threshold).select(conv)
-    df2 = df.join(F.broadcast(skewed.withColumn("_skew", F.lit(True))),
-                  on=conv, how="left")
-    df2 = df2.withColumn(
-        "_salt",
-        F.when(F.col("_skew").isNotNull(),
-               (F.col(order) / F.lit(cfg.salt_block)).cast("int"))
-         .otherwise(F.lit(0)))
+    if cfg.skew_precount:
+        counts = df.groupBy(conv).count()
+        skewed = counts.filter(F.col("count") > cfg.salt_threshold).select(conv)
+        df2 = df.join(F.broadcast(skewed.withColumn("_skew", F.lit(True))),
+                      on=conv, how="left")
+        df2 = df2.withColumn(
+            "_salt",
+            F.when(F.col("_skew").isNotNull(),
+                   (F.col(order) / F.lit(cfg.salt_block)).cast("int"))
+             .otherwise(F.lit(0)))
+    else:
+        # row-local salt (see EncodeConfig.skew_precount): head of every
+        # conversation -> salt 0; tail beyond the threshold -> one salt
+        # per salt_block slice. No pre-count scan, no broadcast join.
+        df2 = df.withColumn(
+            "_salt",
+            F.when(F.col(order) < F.lit(cfg.salt_threshold), F.lit(0))
+             .otherwise(
+                 (F.floor((F.col(order) - F.lit(cfg.salt_threshold))
+                          / F.lit(cfg.salt_block)) + 1).cast("int")))
     if cfg.fixed_width_shuffle_key and sort_within:
         # exchange + Tungsten sort on an 8-byte key: the sort prefix IS
         # the whole primary key, so ordering never touches the string

@@ -44,7 +44,7 @@ def main():
     # spark-submit default of 10k quadruples JVM<->Python IPC round-trips
     # in the encode kernel's hot path
     spark = (SparkSession.builder
-             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "262144")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
     cores = spark.sparkContext.defaultParallelism
