@@ -228,12 +228,25 @@ def cosine_topk_multi_arrow(df: DataFrame, queries: list[list[float]],
             norms = np.sqrt((mat * mat).sum(axis=1))
             sims = (mat @ qm.T) / (norms[:, None] * qn[None, :])  # (n, m)
             ids = batch.column(0).to_numpy(zero_copy_only=False)
-            # 2x margin so rounded-value ties at the k boundary still
-            # resolve to the same (rounded desc, id asc) winners globally
-            kk = min(2 * k, sims.shape[0])
-            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]     # (kk, m)
-            qid = np.repeat(np.arange(m, dtype=np.int32), kk)
-            rows = top.T.ravel()                                   # per query
+            n = sims.shape[0]
+            kk = min(k, n)
+            # the per-batch cut MUST use the same (round(sim,4) desc,
+            # id asc) order as the final window, or rounded-equal rows at
+            # the boundary can drop the globally-correct low-id winners:
+            # argpartition by rounded score to find the kth threshold,
+            # keep ALL rows tying it, then lexsort that (small) candidate
+            # set under the final order and emit exactly k per query.
+            r = np.round(sims, 4)
+            qid_out, row_out = [], []
+            for qi in range(m):
+                part = np.argpartition(-r[:, qi], kk - 1)[:kk]
+                thr = r[part, qi].min()
+                cand = np.nonzero(r[:, qi] >= thr)[0]
+                order = cand[np.lexsort((ids[cand], -r[cand, qi]))][:kk]
+                row_out.append(order)
+                qid_out.append(np.full(kk, qi, dtype=np.int32))
+            rows = np.concatenate(row_out)
+            qid = np.concatenate(qid_out)
             yield pa.RecordBatch.from_arrays(
                 [pa.array(qid, pa.int32()),
                  pa.array(ids[rows], pa.int64()),

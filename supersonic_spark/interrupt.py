@@ -8,6 +8,7 @@ action raises, which `was_interrupted` classifies.
 
 from __future__ import annotations
 
+import re
 from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
@@ -37,8 +38,26 @@ def interrupt(spark: SparkSession, group_id: str) -> None:
     spark.sparkContext.cancelJobGroup(group_id)
 
 
-def was_interrupted(exc: BaseException) -> bool:
+# the DAGScheduler's structured cancellation message ("Job N cancelled
+# part of cancelled job group G"); matching it — not the bare word
+# "cancelled", which can appear in query text or data errors — is what
+# keeps unrelated failures from being misreported as interrupts
+_CANCELLED_RE = re.compile(
+    r"Job \d+ cancelled part of cancelled job group (\S+)")
+
+
+def was_interrupted(exc: BaseException, group_id: str | None = None) -> bool:
     """True when an exception raised by a Spark action is the result of a
-    job-group cancellation (the INTERRUPTED result code analogue)."""
-    msg = str(exc)
-    return "cancelled" in msg.lower() or "SparkJobCancelled" in msg
+    job-group cancellation (the INTERRUPTED result code analogue).
+    Classifies by the scheduler's structured cancellation message, walking
+    exception causes; pass group_id to additionally verify WHICH group's
+    cancellation this was."""
+    seen: set[int] = set()
+    cur: BaseException | None = exc
+    while cur is not None and id(cur) not in seen:
+        seen.add(id(cur))
+        m = _CANCELLED_RE.search(str(cur))
+        if m:
+            return group_id is None or m.group(1) == group_id
+        cur = cur.__cause__ or cur.__context__
+    return False

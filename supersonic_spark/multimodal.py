@@ -21,13 +21,16 @@ MEDIA_META_SCHEMA = ("id long, n_bytes int, crc32 long, "
                      "width int, height int, fake_mean double")
 
 
-def decode_image_stub(payload: bytes) -> tuple[int, int, float]:
-    """STUB: real implementation would decode via PIL/libvips.
+try:  # optional-dependency seam: real decode when PIL is importable
+    from PIL import Image as _PIL_Image
+except ImportError:  # this container has no media libs; the stub keeps
+    _PIL_Image = None  # the Spark-side plumbing real and testable
 
-    Deterministic fake: derives (width, height, mean) from the payload
-    bytes so tests are stable. Raises on empty payloads the way a real
-    decoder would.
-    """
+
+def decode_image_stub(payload: bytes) -> tuple[int, int, float]:
+    """STUB: deterministic fake decode — derives (width, height, mean)
+    from the payload bytes so tests are stable. Raises on empty payloads
+    the way a real decoder would."""
     if not payload:
         raise ValueError("empty media payload")
     h = zlib.crc32(payload)
@@ -37,9 +40,34 @@ def decode_image_stub(payload: bytes) -> tuple[int, int, float]:
     return width, height, float(arr.mean())
 
 
-def extract_media_meta(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+def decode_image_pil(payload: bytes) -> tuple[int, int, float]:
+    """Real decode via PIL (only importable on clusters that install it):
+    (width, height, grayscale mean)."""
+    import io
+    if not payload:
+        raise ValueError("empty media payload")
+    img = _PIL_Image.open(io.BytesIO(payload))
+    gray = np.asarray(img.convert("L"), dtype=np.float64)
+    return img.width, img.height, float(gray.mean())
+
+
+def decode_image(payload: bytes) -> tuple[int, int, float]:
+    """Dispatch: PIL when available, deterministic stub otherwise. Both
+    branches share the (width, height, mean) contract, so the Spark-side
+    schema/partitioning/batch shape is identical either way."""
+    if _PIL_Image is not None:
+        return decode_image_pil(payload)
+    return decode_image_stub(payload)
+
+
+def extract_media_meta(df: DataFrame, id_col: str, payload_col: str,
+                       decoder=None) -> DataFrame:
     """mapInArrow feature extraction over binary payloads, vectorized per
-    batch; nulls/empties produce null metadata rows instead of failing."""
+    batch; nulls/empties produce null metadata rows instead of failing.
+    `decoder` defaults to decode_image_stub (deterministic, what the
+    oracle gate pins); pass decode_image for the PIL-when-available seam
+    on clusters with real media payloads."""
+    decoder = decoder or decode_image_stub
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from .runtime import pin_worker_threads
@@ -54,7 +82,7 @@ def extract_media_meta(df: DataFrame, id_col: str, payload_col: str) -> DataFram
                     n_bytes.append(None); crcs.append(None)
                     ws.append(None); hs.append(None); means.append(None)
                     continue
-                w, h, m = decode_image_stub(p)
+                w, h, m = decoder(p)
                 n_bytes.append(len(p))
                 crcs.append(zlib.crc32(p) & 0xFFFFFFFF)
                 ws.append(w); hs.append(h); means.append(m)

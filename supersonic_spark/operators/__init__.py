@@ -12,6 +12,7 @@ from .core import (
     merge_union_all,
     rowid_merge_join,
     extended_sort,
+    with_prefix_sum,
     with_rowid,
 )
 
@@ -25,5 +26,6 @@ __all__ = [
     "merge_union_all",
     "rowid_merge_join",
     "extended_sort",
+    "with_prefix_sum",
     "with_rowid",
 ]

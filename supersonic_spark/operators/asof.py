@@ -62,3 +62,31 @@ def range_join(left: DataFrame, right: DataFrame, key: str,
                f"l.{left_point} >= r.{right_lo} AND "
                f"l.{left_point} <= r.{right_hi}"),
         "inner")
+
+
+def range_join_bucketed(left: DataFrame, right: DataFrame, key: str,
+                        left_point: str, right_lo: str, right_hi: str,
+                        bin_width: int) -> DataFrame:
+    """range_join's 100 TB path: explode each right interval into the
+    fixed-width bins it overlaps, bin the left point, and equi-join on
+    (key, bin) — a shuffled hash join Catalyst can plan and AQE can
+    rebalance, never a nested-loop. Each matching (left row, interval)
+    pair meets in EXACTLY one bin (the bin containing the left point), so
+    no post-join dedup is needed. Pick bin_width near the typical
+    interval length: an interval spanning B bins costs B exploded rows,
+    while a too-wide bin degrades toward the theta join's row pairing.
+    Returns the same columns as range_join (left.*, right.*)."""
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
+    lb = left.withColumn("_bin", F.floor(F.col(left_point) / bin_width))
+    rb = right.withColumn(
+        "_bin",
+        F.explode(F.sequence(F.floor(F.col(right_lo) / bin_width),
+                             F.floor(F.col(right_hi) / bin_width))))
+    joined = lb.alias("l").join(
+        rb.alias("r"),
+        F.expr(f"l.{key} = r.{key} AND l._bin = r._bin AND "
+               f"l.{left_point} >= r.{right_lo} AND "
+               f"l.{left_point} <= r.{right_hi}"),
+        "inner")
+    return joined.drop("_bin")

@@ -36,36 +36,97 @@ def foreign_filter(fact: DataFrame, keys: DataFrame, fk: str,
 
 
 _MID_PART_SHIFT = 33  # monotonically_increasing_id = pid << 33 | local_idx
+_KEY_SEP = "\x1f"      # offset-map key separator (unit separator)
+_NULL_TOKEN = "\x00N"  # sentinel for NULL group values in offset-map keys
+
+
+def _range_keyed(df: DataFrame, keys: list[str],
+                 n_partitions: int | None) -> DataFrame:
+    """Range-partition + sort-within-partitions on keys, attach
+    partition-local ids via monotonically_increasing_id (pure codegen, no
+    extra shuffle), and materialize once — the eager localCheckpoint pins
+    the sampled range boundaries so the offsets job and the consumer see
+    the same partitioning. Shared base of every prefix-sum-style operator
+    (with_rowid, with_prefix_sum, pack_sequences)."""
+    n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return (df.repartitionByRange(n, *[F.col(c) for c in keys])
+              .sortWithinPartitions(*keys)
+              .withColumn("_mid", F.monotonically_increasing_id())
+              .localCheckpoint(eager=True))
+
+
+def _pid_col() -> Column:
+    return F.shiftright(F.col("_mid"), _MID_PART_SHIFT)
+
+
+def _offset_key(group_cols: list[str]) -> Column:
+    parts = [_pid_col().cast("string")]
+    parts += [F.coalesce(F.col(g).cast("string"), F.lit(_NULL_TOKEN))
+              for g in group_cols]
+    return F.concat_ws(_KEY_SEP, *parts)
+
+
+def _prefix_offset_map(keyed: DataFrame, group_cols: list[str],
+                       value: Column) -> Column:
+    """Exclusive prefix offsets across partitions, restarting per group:
+    collect ONE tiny row per (partition, group-slice) — O(#partitions +
+    #groups) because range partitioning keeps each group contiguous — and
+    fold it into a literal lookup map keyed by pid[<sep>group...].
+    Driver-safe even at thousands of executors."""
+    parts = (keyed.groupBy(_pid_col().alias("_pid"), *group_cols)
+                  .agg(F.sum(value).alias("_t")).collect())
+
+    def gkey(r):
+        return tuple(_NULL_TOKEN if r[g] is None else str(r[g])
+                     for g in group_cols)
+
+    acc: dict[tuple, int] = {}
+    entries: list = []
+    for r in sorted(parts, key=lambda r: (gkey(r), r["_pid"])):
+        g = gkey(r)
+        key = _KEY_SEP.join((str(int(r["_pid"])),) + g)
+        entries += [F.lit(key), F.lit(acc.get(g, 0))]
+        acc[g] = acc.get(g, 0) + int(r["_t"] or 0)
+    return F.create_map(*entries) if entries else F.create_map()
 
 
 def with_rowid(df: DataFrame, order: list[str],
                out: str = "_rowid", n_partitions: int | None = None) -> DataFrame:
     """Dense 0-based row ids under a total order WITHOUT a global Window
-    (which would serialize all rows through one partition at scale).
-
-    Plan: range-partition + sort-within-partitions on the order keys,
-    attach partition-local ids via monotonically_increasing_id (pure
-    codegen, no shuffle), materialize once (eager localCheckpoint pins
-    the sampled range boundaries so the offsets job and the consumer see
-    the same partitioning), then collect one tiny row per partition to
-    build the prefix-sum offset map — O(#partitions), driver-safe even at
-    thousands of executors."""
-    sess = df.sparkSession
-    n = n_partitions or sess.sparkContext.defaultParallelism
-    keyed = (df.repartitionByRange(n, *[F.col(c) for c in order])
-               .sortWithinPartitions(*order)
-               .withColumn("_mid", F.monotonically_increasing_id())
-               .localCheckpoint(eager=True))
-    pid_col = F.shiftright(F.col("_mid"), _MID_PART_SHIFT)
-    parts = keyed.groupBy(pid_col.alias("_pid")).count().collect()
-    offsets: list = []
-    acc = 0
-    for r in sorted(parts, key=lambda r: r["_pid"]):
-        offsets += [F.lit(int(r["_pid"])), F.lit(acc)]
-        acc += r["count"]
-    off_map = F.create_map(*offsets)
+    (which would serialize all rows through one partition at scale):
+    _range_keyed partitioning + the _prefix_offset_map of row counts, the
+    local index coming free from monotonically_increasing_id."""
+    keyed = _range_keyed(df, order, n_partitions)
+    off_map = _prefix_offset_map(keyed, [], F.lit(1))
     local = F.col("_mid").bitwiseAND(F.lit((1 << _MID_PART_SHIFT) - 1))
-    return (keyed.withColumn(out, (off_map[pid_col] + local).cast("long"))
+    return (keyed.withColumn(out, (off_map[_offset_key([])] + local)
+                             .cast("long"))
+            .drop("_mid"))
+
+
+def with_prefix_sum(df: DataFrame, order: list[str], value_col: str,
+                    out: str = "_prefix_sum",
+                    group_cols: list[str] | None = None,
+                    n_partitions: int | None = None,
+                    inclusive: bool = False) -> DataFrame:
+    """Running sum of value_col under (group_cols, order) ordering,
+    restarting at each group boundary, exclusive of the current row by
+    default — WITHOUT a per-group global Window. Range partitioning on
+    (group, order) keeps groups contiguous across partitions, the Window
+    partitions on (physical partition, group) so no task ever sees more
+    than one partition's rows, and the tiny cross-partition offset map
+    stitches the partials (one collected row per partition-group slice).
+    This is the scale-safe form of Window.partitionBy(group).orderBy(...)
+    running sums, whose single-task-per-group plan is a scale-killer."""
+    from pyspark.sql import Window
+    group_cols = list(group_cols or [])
+    keyed = _range_keyed(df, group_cols + order, n_partitions)
+    off_map = _prefix_offset_map(keyed, group_cols, F.col(value_col))
+    end = Window.currentRow if inclusive else -1
+    w = (Window.partitionBy(_pid_col(), *group_cols).orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, end))
+    local = F.coalesce(F.sum(value_col).over(w), F.lit(0))
+    return (keyed.withColumn(out, off_map[_offset_key(group_cols)] + local)
             .drop("_mid"))
 
 
@@ -87,17 +148,22 @@ def lookup_index(queries: DataFrame, index: DataFrame, on: list[str],
     return queries.join(index, on=on, how="inner")
 
 
-def coalesce_zip(left: DataFrame, right: DataFrame) -> DataFrame:
-    """Column-wise zip of two frames by row position — Supersonic's
-    Coalesce, which is NOT SQL COALESCE and NOT union (reference:
-    supersonic/cursor/core/coalesce.h:16-25). Spark has no positional
-    zip, so both sides get explicit positional ids (with_rowid:
-    partition-parallel, no single-partition global Window) and an equi
-    join; inputs must define a deterministic order via their own
-    columns."""
-    lpos = with_rowid(left, left.columns, out="_pos")
-    rpos = with_rowid(right, right.columns, out="_pos")
-    return lpos.join(rpos, "_pos", "inner").drop("_pos")
+def coalesce_zip(*frames: DataFrame) -> DataFrame:
+    """Column-wise zip of N frames by row position — Supersonic's
+    Coalesce, which is NOT SQL COALESCE and NOT union; the reference
+    takes a vector of children (reference:
+    supersonic/cursor/core/coalesce.h:16-31). Spark has no positional
+    zip, so every input gets explicit positional ids (with_rowid:
+    partition-parallel, no single-partition global Window) and they
+    equi-join on position; inputs must define a deterministic order via
+    their own columns."""
+    if len(frames) < 2:
+        raise ValueError("coalesce_zip needs at least two frames")
+    out = with_rowid(frames[0], frames[0].columns, out="_pos")
+    for f in frames[1:]:
+        out = out.join(with_rowid(f, f.columns, out="_pos"),
+                       "_pos", "inner")
+    return out.drop("_pos")
 
 
 def merge_union_all(frames: list[DataFrame],

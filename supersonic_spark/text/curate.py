@@ -8,9 +8,10 @@ DuckDB oracles like every other operator.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.core import with_prefix_sum
 from .analysis import portable_hash64, token_count
 
 
@@ -23,45 +24,23 @@ def pack_sequences(df: DataFrame, budget: int, text_col: str = "text",
     bin = floor(tokens_before_this_doc / budget). Every bin holds
     >= budget tokens except the last (a doc that crosses a boundary stays
     in the bin it started in — bins overflow rather than split documents,
-    the standard packing trade). One partitioned window, no shuffle
-    beyond the group hash; at scale group_col (e.g. source or a date
-    bucket) bounds window partition size."""
-    n_tok = token_count(F.col(text_col))
-    if group_col:
-        w = (Window.partitionBy(group_col).orderBy(id_col)
-             .rowsBetween(Window.unboundedPreceding, -1))
-        before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-        out = (df.withColumn("n_tokens", n_tok)
-                 .withColumn("bin_id",
-                             F.floor(before / F.lit(budget)).cast("long")))
-        return out.select(group_col, id_col, "n_tokens", "bin_id")
-    # ungrouped: a global running token count — computed WITHOUT a
-    # single-partition Window via the with_rowid offsets technique:
-    # range-partition by id, partition-local running sums, plus a tiny
-    # per-partition prefix-offset map (one row per partition collected)
-    sess = df.sparkSession
-    n = sess.sparkContext.defaultParallelism
-    keyed = (df.withColumn("n_tokens", n_tok)
-               .select(id_col, "n_tokens")
-               .repartitionByRange(n, F.col(id_col))
-               .sortWithinPartitions(id_col)
-               .withColumn("_mid", F.monotonically_increasing_id())
-               .localCheckpoint(eager=True))
-    pid = F.shiftright(F.col("_mid"), 33)
-    parts = (keyed.groupBy(pid.alias("_pid"))
-                  .agg(F.sum("n_tokens").alias("t")).collect())
-    offsets: list = []
-    acc = 0
-    for r in sorted(parts, key=lambda r: r["_pid"]):
-        offsets += [F.lit(int(r["_pid"])), F.lit(acc)]
-        acc += r["t"]
-    off_map = F.create_map(*offsets)
-    w = (Window.partitionBy(pid).orderBy(id_col)
-         .rowsBetween(Window.unboundedPreceding, -1))
-    before = off_map[pid] + F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    return (keyed.withColumn("bin_id",
-                             F.floor(before / F.lit(budget)).cast("long"))
-                 .select(id_col, "n_tokens", "bin_id"))
+    the standard packing trade).
+
+    Both paths run on with_prefix_sum (operators/core.py): range
+    partitioning keeps each group contiguous, running sums stay
+    partition-local, and a tiny collected offset map stitches partials —
+    so one huge source never serializes through a single task (the naive
+    Window.partitionBy(group) plan would push a whole source's rows
+    through one window task; at 100 TB with ~20 sources that is 5 TB per
+    task)."""
+    group_cols = [group_col] if group_col else []
+    toks = (df.withColumn("n_tokens", token_count(F.col(text_col)))
+              .select(*group_cols, id_col, "n_tokens"))
+    packed = with_prefix_sum(toks, order=[id_col], value_col="n_tokens",
+                             out="_before", group_cols=group_cols)
+    out = packed.withColumn(
+        "bin_id", F.floor(F.col("_before") / F.lit(budget)).cast("long"))
+    return out.select(*group_cols, id_col, "n_tokens", "bin_id")
 
 
 def mix_sources(df: DataFrame, weights: dict[str, float],

@@ -130,7 +130,7 @@ def simhash64_expr(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                         group_col: str | None = None, n: int = 3,
                         threshold: float = 0.5,
-                        df_cap: int | None = 64) -> DataFrame:
+                        df_cap: int | None = None) -> DataFrame:
     """n-gram Jaccard similarity pairs above threshold.
     |A∩B| via explode+join+count; |A∪B| = |A|+|B|-|A∩B|.
     If group_col given, only pairs within the same group are compared
@@ -142,8 +142,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     docs still count in the union sizes). The reported jaccard is
     therefore a lower bound for pairs whose overlap includes capped grams
     — a conservative, deterministic trade that the oracle mirrors
-    exactly. df_cap=None disables the cap (exact, quadratic in the
-    hottest gram's frequency)."""
+    exactly. The default df_cap=None is EXACT (quadratic in the hottest
+    gram's frequency); scale-sensitive callers opt in to a cap — at
+    100 TB always set one (the gate query pins df_cap=64)."""
     grams = df.select(
         F.col(id_col),
         *([F.col(group_col)] if group_col else []),
