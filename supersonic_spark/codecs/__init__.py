@@ -2,6 +2,7 @@
 
 from .framing import (
     block_codec_report,
+    block_span,
     decode_block,
     decode_column,
     encode_block,
@@ -14,6 +15,7 @@ __all__ = [
     "CODEC_IDS",
     "CODEC_NAMES",
     "block_codec_report",
+    "block_span",
     "decode_block",
     "decode_column",
     "encode_block",

@@ -164,11 +164,20 @@ def encode_block(batch: pa.RecordBatch | pa.Table, codecs: dict[str, str],
     return bytes(out)
 
 
-def decode_block(buf: bytes, offset: int = 0) -> tuple[pa.Table, int]:
+def decode_block(buf: bytes, offset: int = 0,
+                 columns: list[str] | None = None) -> tuple[pa.Table, int]:
+    """Decode one block frame. With `columns`, only the named columns are
+    decoded — other column frames are SKIPPED by length arithmetic
+    without touching their payloads (projection pushdown into the block
+    layout; the per-column [name, length, frame] framing exists exactly
+    so a reader can seek past columns it doesn't need). The returned
+    table preserves the block's column order restricted to `columns`.
+    Bytes consumed always covers the whole block."""
     if buf[offset:offset + 4] != _MAGIC_BLOCK:
         raise ValueError("bad block magic")
     n_cols = _U16.unpack_from(buf, offset + 4)[0]
     off = offset + 6 + 8  # skip row_count (redundant with column frames)
+    wanted = None if columns is None else set(columns)
     names, arrays = [], []
     for _ in range(n_cols):
         nlen = _U16.unpack_from(buf, off)[0]
@@ -177,12 +186,32 @@ def decode_block(buf: bytes, offset: int = 0) -> tuple[pa.Table, int]:
         off += nlen
         clen = _U64.unpack_from(buf, off)[0]
         off += 8
-        arr, used = decode_column(buf, off)
-        assert used == clen, f"column frame length mismatch for {name}"
+        if wanted is None or name in wanted:
+            arr, used = decode_column(buf, off)
+            assert used == clen, f"column frame length mismatch for {name}"
+            names.append(name)
+            arrays.append(arr)
         off += clen
-        names.append(name)
-        arrays.append(arr)
+    if wanted is not None and len(names) < len(wanted):
+        missing = sorted(wanted - set(names))
+        raise KeyError(f"columns {missing} not present in block")
     return pa.table(dict(zip(names, arrays))), off - offset
+
+
+def block_span(buf: bytes, offset: int = 0) -> int:
+    """Total byte length of the block frame at `offset`, found by walking
+    the per-column length headers only — the cheap skip used by chunk
+    pruning (zone maps) and the crc audit."""
+    if buf[offset:offset + 4] != _MAGIC_BLOCK:
+        raise ValueError("bad block magic")
+    n_cols = _U16.unpack_from(buf, offset + 4)[0]
+    off = offset + 14
+    for _ in range(n_cols):
+        nlen = _U16.unpack_from(buf, off)[0]
+        off += 2 + nlen
+        clen = _U64.unpack_from(buf, off)[0]
+        off += 8 + clen
+    return off - offset
 
 
 def block_codec_report(buf: bytes, offset: int = 0) -> dict[str, str]:

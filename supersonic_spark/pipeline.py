@@ -50,7 +50,45 @@ MANIFEST_SCHEMA = StructType([
     StructField("encode_sec", DoubleType(), False),
     StructField("crc32", LongType(), False),
     StructField("resumed", BooleanType(), False),
+    # zone maps: per-chunk min/max, numeric (ints/floats/timestamp-as-ns)
+    # or string — what lets decode_table prune whole chunks by predicate
+    # without touching their payloads (Parquet row-group stats analogue)
+    StructField("vmin_num", DoubleType(), True),
+    StructField("vmax_num", DoubleType(), True),
+    StructField("vmin_str", StringType(), True),
+    StructField("vmax_str", StringType(), True),
 ])
+
+
+def _zone_stats(col) -> tuple:
+    """(vmin_num, vmax_num, vmin_str, vmax_str) for one column chunk.
+    Numeric bounds are widened outward when they exceed float53 precision
+    (int64/ns values) so a rounded bound can never wrongly exclude a
+    chunk — zone maps must be conservative."""
+    import numpy as np
+    import pyarrow.compute as pc
+    t = col.type
+    try:
+        if pa.types.is_timestamp(t):
+            col, t = col.cast(pa.int64()), pa.int64()
+        if (pa.types.is_integer(t) or pa.types.is_floating(t)
+                or pa.types.is_boolean(t)):
+            mm = pc.min_max(col)
+            lo, hi = mm["min"].as_py(), mm["max"].as_py()
+            if lo is None:
+                return None, None, None, None
+            lo_f, hi_f = float(lo), float(hi)
+            if abs(lo) > 2 ** 53:
+                lo_f = float(np.nextafter(lo_f, -np.inf))
+            if abs(hi) > 2 ** 53:
+                hi_f = float(np.nextafter(hi_f, np.inf))
+            return lo_f, hi_f, None, None
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            mm = pc.min_max(col)
+            return None, None, mm["min"].as_py(), mm["max"].as_py()
+    except pa.lib.ArrowNotImplementedError:
+        pass
+    return None, None, None, None
 
 
 @dataclass
@@ -75,6 +113,13 @@ class EncodeConfig:
     # dominant non-scaling CPU stage on many-core single-box runs. Costs
     # one whole-partition buffer in the worker (size partitions to memory).
     sort_in_kernel: bool = False
+    # overlap Arrow IPC with codec compute inside each Python worker: a
+    # bounded feeder thread drains the JVM socket into a small queue
+    # while the kernel encodes the previous batch. Without it the worker
+    # alternates read-then-encode, serializing the two (the JVM->Python
+    # transfer was profiled as the largest non-overlapped stage). Value =
+    # max queued batches; 0 disables.
+    prefetch_batches: int = 2
     # derive the skew salt row-locally from turn_idx instead of a
     # pre-count scan: rows with turn_idx < salt_threshold keep salt 0, so
     # every conversation shorter than the threshold stays contiguous, and
@@ -116,14 +161,48 @@ class EncodeConfig:
         return hashlib.md5(blob).hexdigest()[:12]
 
 
+def _prefetched(batches: Iterator[pa.RecordBatch],
+                depth: int) -> Iterator[pa.RecordBatch]:
+    """Drain `batches` through a bounded queue fed by a daemon thread so
+    the JVM->Python Arrow transfer of batch N+1 overlaps the encode of
+    batch N (socket reads release the GIL). depth bounds worker memory to
+    depth extra transfer batches."""
+    if depth <= 0:
+        yield from batches
+        return
+    import queue
+    import threading
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def feed():
+        try:
+            for b in batches:
+                q.put(b)
+            q.put(_END)
+        except BaseException as e:   # surface reader errors in the consumer
+            q.put(e)
+
+    threading.Thread(target=feed, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 def _encoder(out_dir: str, cfg_hash: str, overrides: dict[str, str],
              chunk_rows: int, entropy: str | None = None,
-             sort_keys: tuple[str, ...] | None = None):
+             sort_keys: tuple[str, ...] | None = None,
+             prefetch: int = 2):
     """mapInArrow kernel: encode this partition's rows into one block file."""
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from .runtime import pin_worker_threads
         pin_worker_threads()
+        batches = _prefetched(batches, prefetch)
         from pyspark import TaskContext
         pid = TaskContext.get().partitionId()
         ckpt_dir = os.path.join(out_dir, "checkpoints")
@@ -180,6 +259,7 @@ def _encoder(out_dir: str, cfg_hash: str, overrides: dict[str, str],
                     per_col_out = _per_column_sizes(buf, chunk.schema.names)
                     for name in chunk.schema.names:
                         col = chunk.column(name).combine_chunks()
+                        zmin, zmax, zmin_s, zmax_s = _zone_stats(col)
                         manifest_rows.append({
                             "partition_id": pid, "chunk_id": chunk_id,
                             "column": name, "codec": applied[name],
@@ -189,6 +269,8 @@ def _encoder(out_dir: str, cfg_hash: str, overrides: dict[str, str],
                             "encode_sec": dt / len(chunk.schema.names),
                             "crc32": zlib.crc32(buf) & 0xFFFFFFFF,
                             "resumed": False,
+                            "vmin_num": zmin, "vmax_num": zmax,
+                            "vmin_str": zmin_s, "vmax_str": zmax_s,
                         })
                     chunk_id += 1
 
@@ -258,6 +340,12 @@ def _manifest_batch(rows: list[dict]) -> pa.RecordBatch:
         "encode_sec": pa.array([r["encode_sec"] for r in rows], pa.float64()),
         "crc32": pa.array([r["crc32"] for r in rows], pa.int64()),
         "resumed": pa.array([r["resumed"] for r in rows], pa.bool_()),
+        # .get(): resume markers written before zone maps existed stay
+        # readable (their chunks simply can't be pruned)
+        "vmin_num": pa.array([r.get("vmin_num") for r in rows], pa.float64()),
+        "vmax_num": pa.array([r.get("vmax_num") for r in rows], pa.float64()),
+        "vmin_str": pa.array([r.get("vmin_str") for r in rows], pa.string()),
+        "vmax_str": pa.array([r.get("vmax_str") for r in rows], pa.string()),
     }
     return pa.RecordBatch.from_pydict(arrays)
 
@@ -339,17 +427,67 @@ def encode_table(spark: SparkSession, df: DataFrame, out_dir: str,
     manifest = arranged.mapInArrow(
         _encoder(out_dir, cfg_hash, cfg.codec_overrides, cfg.chunk_rows,
                  entropy=cfg.entropy,
-                 sort_keys=cfg.sort_keys if cfg.sort_in_kernel else None),
+                 sort_keys=cfg.sort_keys if cfg.sort_in_kernel else None,
+                 prefetch=cfg.prefetch_batches),
         schema=MANIFEST_SCHEMA)
     manifest.write.mode("overwrite").parquet(os.path.join(out_dir, "manifest"))
     return spark.read.parquet(os.path.join(out_dir, "manifest"))
 
 
-def decode_table(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Stream block files back into a DataFrame (schema from meta.json)."""
+def _pruned_chunks(spark: SparkSession, out_dir: str,
+                   predicate: tuple) -> dict[int, set] | None:
+    """Chunks whose zone map can satisfy `predicate` = (col, lo, hi),
+    inclusive bounds: {partition_id: set(chunk_id)}. Chunks without stats
+    (old manifests, unsupported types) are always kept — pruning is only
+    ever an optimization, never a correctness gate. Returns None when no
+    manifest exists. Driver-side: O(#chunks) tiny rows; for extreme chunk
+    counts push the same overlap filter into a join against the block
+    scan instead."""
+    pcol, lo, hi = predicate
+    mpath = os.path.join(out_dir, "manifest")
+    if not os.path.isdir(mpath):
+        return None
+    man = spark.read.parquet(mpath).filter(F.col("column") == pcol)
+    is_str = isinstance(lo, str)
+    vmin = F.col("vmin_str") if is_str else F.col("vmin_num")
+    vmax = F.col("vmax_str") if is_str else F.col("vmax_num")
+    keep_cond = (vmin.isNull() | vmax.isNull()
+                 | ((vmax >= F.lit(lo)) & (vmin <= F.lit(hi))))
+    rows = (man.filter(keep_cond)
+            .select("partition_id", "chunk_id").distinct().collect())
+    keep: dict[int, set] = {}
+    for r in rows:
+        keep.setdefault(r["partition_id"], set()).add(r["chunk_id"])
+    return keep
+
+
+def decode_table(spark: SparkSession, out_dir: str,
+                 columns: list[str] | None = None,
+                 predicate: tuple | None = None) -> DataFrame:
+    """Stream block files back into a DataFrame (schema from meta.json).
+
+    columns: project at the BLOCK layer — unneeded column frames are
+    skipped by length arithmetic, their payloads never touched (the
+    engine-side analogue of parquet column pruning).
+    predicate: (col, lo, hi) inclusive range — whole chunks whose zone
+    map can't overlap are skipped without decoding (manifest min/max,
+    the row-group-stats analogue), then the exact filter is re-applied
+    to decoded rows so results are precise regardless of stats. Numeric
+    and string columns only."""
     with open(os.path.join(out_dir, "meta.json")) as f:
         meta = json.load(f)
     schema = StructType.fromJson(meta["spark_schema"])
+    if predicate is not None and columns is not None \
+            and predicate[0] not in columns:
+        columns = list(columns) + [predicate[0]]
+    if columns is not None:
+        missing = [c for c in columns if c not in schema.names]
+        if missing:
+            raise KeyError(f"columns {missing} not in encoded schema "
+                           f"{schema.names}")
+        schema = StructType([f for f in schema.fields
+                             if f.name in set(columns)])
+    keep = _pruned_chunks(spark, out_dir, predicate) if predicate else None
     blk_dir = os.path.join(out_dir, "blocks")
     paths = (sorted(os.path.join(blk_dir, p) for p in os.listdir(blk_dir)
                     if p.endswith(".ssb"))
@@ -358,21 +496,34 @@ def decode_table(spark: SparkSession, out_dir: str) -> DataFrame:
     def decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from .runtime import pin_worker_threads
         pin_worker_threads()
+        from .codecs import block_span
         for batch in batches:
             for path in batch.column(0).to_pylist():
+                pid = int(os.path.basename(path)[5:10])
+                wanted = None if keep is None else keep.get(pid, set())
                 with open(path, "rb") as f:
                     buf = f.read()
-                off = 0
+                off, chunk_id = 0, 0
                 while off < len(buf):
-                    tbl, used = decode_block(buf, off)
-                    off += used
-                    yield from tbl.to_batches()
+                    if wanted is not None and chunk_id not in wanted:
+                        off += block_span(buf, off)   # pruned: header walk
+                    else:
+                        tbl, used = decode_block(buf, off, columns=columns)
+                        off += used
+                        yield from tbl.to_batches()
+                    chunk_id += 1
 
     if not paths:
-        return spark.createDataFrame([], schema)
-    pdf = spark.createDataFrame([(p,) for p in paths], "path string")
-    return (pdf.repartition(len(paths), "path")
-               .mapInArrow(decode, schema=schema))
+        out = spark.createDataFrame([], schema)
+    else:
+        pdf = spark.createDataFrame([(p,) for p in paths], "path string")
+        out = (pdf.repartition(len(paths), "path")
+                  .mapInArrow(decode, schema=schema))
+    if predicate is not None:
+        pcol, lo, hi = predicate
+        out = out.filter((F.col(pcol) >= F.lit(lo))
+                         & (F.col(pcol) <= F.lit(hi)))
+    return out
 
 
 def manifest_summary(manifest: DataFrame) -> DataFrame:
@@ -407,7 +558,7 @@ def validate_blocks(spark: SparkSession, out_dir: str) -> DataFrame:
     def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from .runtime import pin_worker_threads
         pin_worker_threads()
-        from .codecs.framing import _MAGIC_BLOCK, _U16, _U64
+        from .codecs import block_span
         for batch in batches:
             for path in batch.column(0).to_pylist():
                 pid = int(os.path.basename(path)[5:10])
@@ -416,20 +567,15 @@ def validate_blocks(spark: SparkSession, out_dir: str) -> DataFrame:
                 off, chunk_id = 0, 0
                 pids, cids, crcs = [], [], []
                 while off < len(buf):
-                    if buf[off:off + 4] != _MAGIC_BLOCK:
+                    try:
+                        span = block_span(buf, off)
+                    except ValueError:   # corrupt magic: flag and stop
                         pids.append(pid); cids.append(chunk_id); crcs.append(-1)
                         break
-                    n_cols = _U16.unpack_from(buf, off + 4)[0]
-                    pos = off + 14
-                    for _ in range(n_cols):
-                        nlen = _U16.unpack_from(buf, pos)[0]
-                        pos += 2 + nlen
-                        clen = _U64.unpack_from(buf, pos)[0]
-                        pos += 8 + clen
                     pids.append(pid)
                     cids.append(chunk_id)
-                    crcs.append(zlib.crc32(buf[off:pos]) & 0xFFFFFFFF)
-                    off = pos
+                    crcs.append(zlib.crc32(buf[off:off + span]) & 0xFFFFFFFF)
+                    off += span
                     chunk_id += 1
                 yield pa.RecordBatch.from_pydict({
                     "partition_id": pa.array(pids, pa.int32()),
