@@ -394,6 +394,25 @@ def q_expr_regexp(spark, sf):
                       .alias("masked")))
 
 
+def q_expr_regexp2(spark, sf):
+    # remaining regexp/logic leaves: anchored full match
+    # (RegexpFullMatch, reference regexp_expressions.h:43), template
+    # rewrite with capture groups (RegexpRewrite,
+    # regexp_expressions.h:59,76), boolean XOR / AND-NOT
+    # (elementary_expressions.h:101-119)
+    c = _t(spark, sf, "customer")
+    full = F.col("c_name").rlike("^Customer#[0-9]+$")
+    pos = F.col("c_acctbal") > 0
+    ends_odd = F.col("c_name").rlike("[13579]$")
+    return c.select(
+        "c_custkey",
+        full.alias("full_match"),
+        F.regexp_replace(F.col("c_name"), "^Customer#0*([0-9]+)$", "id=$1")
+         .alias("rewritten"),
+        (pos != ends_odd).alias("xor_pm"),
+        (pos & ~ends_odd).alias("and_not"))
+
+
 def q_expr_datetime(spark, sf):
     ev = _t(spark, sf, "events")
     return ev.select(
@@ -548,6 +567,25 @@ def q_range_join(spark, sf):
     left = ev.select((F.col("user_id") % 5).cast("int").alias("band_user"),
                      "event_id", "value")
     out = range_join(left, bands, "band_user", "value", "lo", "hi")
+    return out.select("event_id", "band_id",
+                      _cents(F.col("value")).alias("value_cents"))
+
+
+def q_range_join_bucketed(spark, sf):
+    # same point-in-interval semantics as range_join, but through the
+    # 100 TB plan: intervals exploded into fixed-width bins, equi join on
+    # (key, bin) — no BroadcastNestedLoopJoin anywhere in the plan
+    from supersonic_spark.operators.asof import range_join_bucketed
+    ev = _t(spark, sf, "events").filter(F.col("event_id") < 2000)
+    bands = spark.range(0, 10).select(
+        (F.col("id") % 5).cast("int").alias("band_user"),
+        (F.col("id") * 50.0).alias("lo"),
+        (F.col("id") * 50.0 + 60.0).alias("hi"),
+        F.col("id").alias("band_id"))
+    left = ev.select((F.col("user_id") % 5).cast("int").alias("band_user"),
+                     "event_id", "value")
+    out = range_join_bucketed(left, bands, "band_user", "value", "lo", "hi",
+                              bin_width=50)
     return out.select("event_id", "band_id",
                       _cents(F.col("value")).alias("value_cents"))
 
@@ -803,7 +841,7 @@ def q_ngram_jaccard(spark, sf):
     from supersonic_spark.text.dedup import ngram_jaccard_pairs
     d = _t(spark, sf, "documents")
     return ngram_jaccard_pairs(d, "text", "doc_id", group_col="source",
-                               n=1, threshold=0.5)
+                               n=1, threshold=0.5, df_cap=64)
 
 
 def q_pack_sequences(spark, sf):
@@ -972,6 +1010,26 @@ def q_codec_roundtrip_docs(spark, sf):
     return d.mapInArrow(rt, schema=d.schema)
 
 
+def q_codec_projection_pushdown(spark, sf):
+    """Decode-side projection + zone-map chunk pruning through the full
+    distributed pipeline: encode documents into sorted blocks, then
+    decode ONLY (doc_id, source) under a doc_id range predicate — column
+    frames outside the projection are skipped by length arithmetic and
+    chunks whose manifest min/max can't overlap are never decoded (the
+    engine-side analogue of parquet column pruning + row-group stats)."""
+    import tempfile
+    from supersonic_spark.pipeline import (EncodeConfig, decode_table,
+                                           encode_table)
+    d = _t(spark, sf, "documents")
+    out = tempfile.mkdtemp(prefix="ss_proj_gate_")
+    cfg = EncodeConfig(n_partitions=4, chunk_rows=64, conv_key="source",
+                       order_key="doc_id", sort_keys=("source", "doc_id"))
+    encode_table(spark, d, out, cfg, fingerprint="proj-gate")
+    dec = decode_table(spark, out, columns=["doc_id", "source"],
+                       predicate=("doc_id", 100, 299))
+    return dec.select("doc_id", "source")
+
+
 def q_codec_selection_report(spark, sf):
     """Lineage view: which codec the auto-selector picks per column of
     the documents table, per partition (rows-only check)."""
@@ -1072,6 +1130,29 @@ def q_tpch_q10_returned_items(spark, sf):
             .limit(20))
 
 
+def q_tpch_q18_large_orders(spark, sf):
+    """Q18 shape: customers with orders whose lineitem quantity sum
+    exceeds a threshold — groupBy+HAVING feeding a 3-way join, then a
+    deterministic top-100. The quantity rollup is a map-side partial agg
+    on l_orderkey; the surviving order set is tiny, so Catalyst
+    broadcast-joins it back against orders/customer."""
+    li = _t(spark, sf, "lineitem")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+           .filter(F.col("sum_qty") > 200))
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return (big.join(o, big.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .select("c_name", "c_custkey", "o_orderkey",
+                    F.col("o_orderdate").cast("date").cast("string")
+                     .alias("odate"),
+                    _cents(F.col("o_totalprice")).alias("total_cents"),
+                    "sum_qty")
+            .orderBy(F.desc("total_cents"), "o_orderkey")
+            .limit(100))
+
+
 def q_codec_roundtrip_floats(spark, sf):
     """Float-codec gate: explode embeddings to scalar float32, run them
     through the codec stack (selector + entropy stage -> bss/xor_bss/plain)
@@ -1140,6 +1221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expr_math": q_expr_math,
         "expr_string": q_expr_string,
         "expr_regexp": q_expr_regexp,
+        "expr_regexp2": q_expr_regexp2,
         "expr_datetime": q_expr_datetime,
         "expr_parse_datetime": q_expr_parse_datetime,
         "expr_case_cast": q_expr_case_cast,
@@ -1153,6 +1235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rank": q_window_rank,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "range_join_bucketed": q_range_join_bucketed,
         "cube_agg": q_cube_agg,
         "rollup_agg": q_rollup_agg,
         "grouping_sets": q_grouping_sets,
@@ -1192,11 +1275,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_pairs": q_embedding_near_pairs,
         "multimodal_binary_meta": q_multimodal_binary_meta,
         "codec_roundtrip_docs": q_codec_roundtrip_docs,
+        "codec_projection_pushdown": q_codec_projection_pushdown,
         "codec_roundtrip_floats": q_codec_roundtrip_floats,
         "codec_selection_report": q_codec_selection_report,
         "tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
         "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
         "tpch_q10_returned_items": q_tpch_q10_returned_items,
+        "tpch_q18_large_orders": q_tpch_q18_large_orders,
     }
 
 

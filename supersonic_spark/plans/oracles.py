@@ -260,6 +260,15 @@ SELECT c_custkey,
 FROM customer WHERE regexp_matches(c_name, '[0-9]{2,}')
 """
 
+ORACLES["expr_regexp2"] = """
+SELECT c_custkey,
+       regexp_full_match(c_name, 'Customer#[0-9]+') AS full_match,
+       regexp_replace(c_name, '^Customer#0*([0-9]+)$', 'id=\\1') AS rewritten,
+       ((c_acctbal > 0) <> regexp_matches(c_name, '[13579]$')) AS xor_pm,
+       ((c_acctbal > 0) AND NOT regexp_matches(c_name, '[13579]$')) AS and_not
+FROM customer
+"""
+
 ORACLES["expr_datetime"] = """
 SELECT event_id,
        CAST(year(ts) AS INTEGER) AS y,
@@ -584,6 +593,10 @@ ORACLES["codec_roundtrip_docs"] = """
 SELECT doc_id, text, lang, source, n_chars FROM documents
 """
 
+ORACLES["codec_projection_pushdown"] = """
+SELECT doc_id, source FROM documents WHERE doc_id BETWEEN 100 AND 299
+"""
+
 ORACLES["asof_join"] = """
 SELECT l.event_id, r.signup_cents
 FROM (SELECT user_id, ts, event_id FROM events) l
@@ -606,6 +619,8 @@ SELECT l.event_id, b.band_id,
 FROM l JOIN bands b
   ON l.band_user = b.band_user AND l.value >= b.lo AND l.value <= b.hi
 """
+
+ORACLES["range_join_bucketed"] = ORACLES["range_join"]
 
 ORACLES["cube_agg"] = """
 SELECT l_returnflag, l_linestatus,
@@ -939,6 +954,23 @@ WHERE l_returnflag = 'R'
 GROUP BY c_custkey, c_name, n_name
 ORDER BY revenue_cents DESC, c_custkey
 LIMIT 20
+"""
+
+ORACLES["tpch_q18_large_orders"] = """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS BIGINT)) > 200)
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS odate,
+       CAST(round(o_totalprice*100, 0) AS BIGINT) AS total_cents,
+       sum_qty
+FROM big
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_cents DESC, o_orderkey
+LIMIT 100
 """
 
 ORACLES["codec_roundtrip_floats"] = """
