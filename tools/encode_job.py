@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--string-sort-key", action="store_true",
                     help="disable the fixed-width xxhash64 shuffle/sort key "
                          "(A/B baseline: sort on the string conv_id)")
+    ap.add_argument("--no-prefetch", action="store_true",
+                    help="disable the IPC/compute prefetch overlap in the "
+                         "encode kernel (A/B baseline)")
     ap.add_argument("--verify", action="store_true",
                     help="decode + full bit-identity check after encode")
     ap.add_argument("--warmup", action="store_true",
@@ -63,7 +66,8 @@ def main():
     cfg = EncodeConfig(n_partitions=args.n_partitions or 2 * cores,
                        chunk_rows=args.chunk_rows,
                        sort_in_kernel=args.sort_in_kernel,
-                       fixed_width_shuffle_key=not args.string_sort_key)
+                       fixed_width_shuffle_key=not args.string_sort_key,
+                       prefetch_batches=0 if args.no_prefetch else 2)
     if args.warmup:
         import shutil
         import tempfile
