@@ -125,6 +125,10 @@ def main():
         with open(scaling_path) as f:
             s = json.load(f)
         scaling = {k: s[k] for k in ("scaling_efficiency",
+                                     "median_pair_efficiency_all_2v8",
+                                     "best_pair_efficiency_2v8",
+                                     "scaling_efficiency_1v4",
+                                     "kernel_only_median_pair",
                                      "median_turns_per_sec_low",
                                      "median_turns_per_sec_high",
                                      "cores_low", "cores_high") if k in s}
