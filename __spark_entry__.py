@@ -44,8 +44,13 @@ def _ship_package(spark: SparkSession) -> None:
                     z.write(full, os.path.relpath(full, _REPO))
     try:
         spark.sparkContext.addPyFile(zpath)
-    except Exception:
-        pass  # already added or unsupported — worker imports fall back to PYTHONPATH
+    except Exception as e:
+        # a genuine shipping failure would otherwise surface later as a
+        # confusing worker ImportError — say what happened, then rely on
+        # the PYTHONPATH fallback (already-added is the common benign case)
+        import sys
+        print(f"supersonic_spark: addPyFile({zpath}) failed ({e!r}); "
+              "workers will import from PYTHONPATH", file=sys.stderr)
     _PYFILES_SENT.add(key)
 
 
