@@ -76,9 +76,17 @@ def _prefix_offset_map(keyed: DataFrame, group_cols: list[str],
     parts = (keyed.groupBy(_pid_col().alias("_pid"), *group_cols)
                   .agg(F.sum(value).alias("_t")).collect())
 
+    def py_str(v):
+        # must match Spark's CAST(x AS STRING) for every supported group
+        # type: booleans render lowercase there, uppercase in Python
+        if v is None:
+            return _NULL_TOKEN
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        return str(v)
+
     def gkey(r):
-        return tuple(_NULL_TOKEN if r[g] is None else str(r[g])
-                     for g in group_cols)
+        return tuple(py_str(r[g]) for g in group_cols)
 
     acc: dict[tuple, int] = {}
     entries: list = []

@@ -40,6 +40,21 @@ def test_with_prefix_sum_grouped_restarts_per_group(spark):
         acc[g] = acc.get(g, 0) + v
 
 
+def test_with_prefix_sum_boolean_group(spark):
+    # Spark casts booleans to 'true'/'false'; Python str() gives
+    # 'True'/'False' — the offset-map keys must agree
+    from supersonic_spark.operators.core import with_prefix_sum
+    rows = [(i % 2 == 0, i, 1) for i in range(100)]
+    df = spark.createDataFrame(rows, "g boolean, id long, v long")
+    out = with_prefix_sum(df, ["id"], "v", out="ps", group_cols=["g"],
+                          n_partitions=4)
+    got = {(r["g"], r["id"]): r["ps"] for r in out.collect()}
+    acc = {True: 0, False: 0}
+    for g, i, v in sorted(rows, key=lambda r: (not r[0], r[1])):
+        assert got[(g, i)] == acc[g], (g, i)
+        acc[g] += v
+
+
 def test_with_prefix_sum_null_group_and_inclusive(spark):
     from supersonic_spark.operators.core import with_prefix_sum
     df = spark.createDataFrame(
