@@ -77,6 +77,63 @@ def unpack_uints(buf: bytes, n: int, width: int) -> np.ndarray:
     return packed.view(dt).astype(np.uint64)
 
 
+def _le_container(width: int) -> str:
+    if width <= 8:
+        return "<u1"
+    if width <= 16:
+        return "<u2"
+    if width <= 32:
+        return "<u4"
+    return "<u8"
+
+
+def pack_uints_sliced(vals: np.ndarray, width: int) -> bytes:
+    """Byte-sliced packing for width >= 8: width = 8k + r stores k raw
+    little-endian byte planes (pure memcpy) plus an r-bit packed top
+    plane. Identical total size to pack_uints — n*width bits — but the
+    memory traffic is ~n*(k+1) bytes instead of the container path's
+    ~2*cont*n unpackbits/packbits round (measured ~7-10x faster at
+    width 9, the tokdict index hot path)."""
+    n = len(vals)
+    if n == 0:
+        return b""
+    k, r = divmod(width, 8)
+    b = (np.ascontiguousarray(np.asarray(vals).astype(_le_container(width),
+                                                      copy=False))
+         .view(np.uint8).reshape(n, -1))
+    parts = [b[:, j].tobytes() for j in range(k)]
+    if r:
+        parts.append(pack_uints(b[:, k].astype(np.uint64, copy=False), r))
+    return b"".join(parts)
+
+
+def _unpack_u8(buf: bytes, n: int, width: int) -> np.ndarray:
+    """width <= 8 unpack returning uint8 (skips the u64 widening)."""
+    total_bits = n * width
+    raw = np.frombuffer(buf, dtype=np.uint8, count=(total_bits + 7) // 8)
+    bits = np.zeros((n, 8), dtype=np.uint8)
+    bits[:, 8 - width:] = np.unpackbits(raw, count=total_bits).reshape(n, width)
+    return np.packbits(bits.reshape(-1))
+
+
+def unpack_uints_sliced(buf: bytes, n: int, width: int) -> np.ndarray:
+    """Inverse of pack_uints_sliced; returns uint64 array of length n.
+    Assembles the output's little-endian byte planes in place (one u8
+    column write per plane — no widen/shift/or round trips); assumes a
+    little-endian host, as the rest of the codec layer already does."""
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    k, r = divmod(width, 8)
+    ob = np.zeros((n, 8), dtype=np.uint8)
+    off = 0
+    for j in range(k):
+        ob[:, j] = np.frombuffer(buf, dtype=np.uint8, count=n, offset=off)
+        off += n
+    if r:
+        ob[:, k] = _unpack_u8(buf[off:], n, r)
+    return ob.view("<u8").ravel()
+
+
 def zigzag_encode(vals: np.ndarray) -> np.ndarray:
     """Map signed int64 -> uint64 so small-magnitude values stay small."""
     v = np.ascontiguousarray(vals, dtype=np.int64)
@@ -96,6 +153,10 @@ def pack_ints_block(vals: np.ndarray) -> bytes:
     input's narrow dtype through the subtraction when the range allows —
     int64 promotion of multi-million-token index arrays was a top
     memory-bandwidth consumer.
+
+    width >= 8 payloads use the byte-sliced layout (same size, far less
+    memory traffic) and mark it with the width byte's high bit so old
+    blocks remain self-describing and decodable.
     """
     v = np.ascontiguousarray(vals)
     n = len(v)
@@ -110,6 +171,9 @@ def pack_ints_block(vals: np.ndarray) -> bytes:
         deltas = (v - np.int64(ref)).view(np.uint64)
     else:
         deltas = (v.astype(np.int64) - ref).view(np.uint64)
+    if width >= 8:
+        return (_I64.pack(ref) + _U64.pack(n) + bytes([width | 0x80])
+                + pack_uints_sliced(deltas, width))
     return _I64.pack(ref) + _U64.pack(n) + bytes([width]) + pack_uints(deltas, width)
 
 
@@ -117,8 +181,14 @@ def unpack_ints_block(buf: bytes, offset: int = 0) -> tuple[np.ndarray, int]:
     """Inverse of pack_ints_block. Returns (int64 array, bytes consumed)."""
     ref = _I64.unpack_from(buf, offset)[0]
     n = _U64.unpack_from(buf, offset + 8)[0]
-    width = buf[offset + 16]
+    wbyte = buf[offset + 16]
+    sliced = bool(wbyte & 0x80)
+    width = wbyte & 0x7F
     nbytes = (n * width + 7) // 8
+    if sliced:
+        k, r = divmod(width, 8)
+        nbytes = k * n + (n * r + 7) // 8
     payload = buf[offset + 17 : offset + 17 + nbytes]
-    vals = unpack_uints(payload, n, width).view(np.int64) + ref
+    un = unpack_uints_sliced if sliced else unpack_uints
+    vals = un(payload, n, width).view(np.int64) + ref
     return vals.astype(np.int64), 17 + nbytes
