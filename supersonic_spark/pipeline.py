@@ -434,31 +434,47 @@ def encode_table(spark: SparkSession, df: DataFrame, out_dir: str,
     return spark.read.parquet(os.path.join(out_dir, "manifest"))
 
 
+def _normalize_predicates(predicate) -> list[tuple]:
+    """One (col, lo, hi) tuple or a list of them (ANDed)."""
+    if predicate is None:
+        return []
+    if isinstance(predicate, tuple):
+        return [predicate]
+    return list(predicate)
+
+
 def _pruned_chunks(spark: SparkSession, out_dir: str,
-                   predicate: tuple) -> dict[int, set] | None:
-    """Chunks whose zone map can satisfy `predicate` = (col, lo, hi),
-    inclusive bounds: {partition_id: set(chunk_id)}. Chunks without stats
-    (old manifests, unsupported types) are always kept — pruning is only
-    ever an optimization, never a correctness gate. Returns None when no
-    manifest exists. Driver-side: O(#chunks) tiny rows; for extreme chunk
-    counts push the same overlap filter into a join against the block
-    scan instead."""
-    pcol, lo, hi = predicate
+                   predicates: list[tuple]) -> dict[int, set] | None:
+    """Chunks whose zone maps can satisfy EVERY (col, lo, hi) range
+    (inclusive bounds, conjunction): {partition_id: set(chunk_id)}.
+    Chunks without stats (old manifests, unsupported types) are always
+    kept — pruning is only ever an optimization, never a correctness
+    gate. Returns None when no manifest exists. Driver-side: O(#chunks)
+    tiny rows; for extreme chunk counts push the same overlap filter
+    into a join against the block scan instead."""
     mpath = os.path.join(out_dir, "manifest")
     if not os.path.isdir(mpath):
         return None
-    man = spark.read.parquet(mpath).filter(F.col("column") == pcol)
-    is_str = isinstance(lo, str)
-    vmin = F.col("vmin_str") if is_str else F.col("vmin_num")
-    vmax = F.col("vmax_str") if is_str else F.col("vmax_num")
-    keep_cond = (vmin.isNull() | vmax.isNull()
-                 | ((vmax >= F.lit(lo)) & (vmin <= F.lit(hi))))
-    rows = (man.filter(keep_cond)
-            .select("partition_id", "chunk_id").distinct().collect())
-    keep: dict[int, set] = {}
-    for r in rows:
-        keep.setdefault(r["partition_id"], set()).add(r["chunk_id"])
-    return keep
+    man = spark.read.parquet(mpath)
+    keep: dict[int, set] | None = None
+    for pcol, lo, hi in predicates:
+        is_str = isinstance(lo, str)
+        vmin = F.col("vmin_str") if is_str else F.col("vmin_num")
+        vmax = F.col("vmax_str") if is_str else F.col("vmax_num")
+        keep_cond = (vmin.isNull() | vmax.isNull()
+                     | ((vmax >= F.lit(lo)) & (vmin <= F.lit(hi))))
+        rows = (man.filter(F.col("column") == pcol).filter(keep_cond)
+                .select("partition_id", "chunk_id").distinct().collect())
+        this: dict[int, set] = {}
+        for r in rows:
+            this.setdefault(r["partition_id"], set()).add(r["chunk_id"])
+        if keep is None:
+            keep = this
+        else:  # conjunction: a chunk survives only if every range allows it
+            keep = {pid: keep[pid] & cs for pid, cs in this.items()
+                    if pid in keep}
+            keep = {pid: cs for pid, cs in keep.items() if cs}
+    return keep or {}
 
 
 def decode_table(spark: SparkSession, out_dir: str,
@@ -469,17 +485,20 @@ def decode_table(spark: SparkSession, out_dir: str,
     columns: project at the BLOCK layer — unneeded column frames are
     skipped by length arithmetic, their payloads never touched (the
     engine-side analogue of parquet column pruning).
-    predicate: (col, lo, hi) inclusive range — whole chunks whose zone
-    map can't overlap are skipped without decoding (manifest min/max,
-    the row-group-stats analogue), then the exact filter is re-applied
-    to decoded rows so results are precise regardless of stats. Numeric
+    predicate: one (col, lo, hi) inclusive range, or a list of them
+    (conjunction) — whole chunks whose zone maps can't overlap every
+    range are skipped without decoding (manifest min/max, the
+    row-group-stats analogue), then the exact filters are re-applied to
+    decoded rows so results are precise regardless of stats. Numeric
     and string columns only."""
     with open(os.path.join(out_dir, "meta.json")) as f:
         meta = json.load(f)
     schema = StructType.fromJson(meta["spark_schema"])
-    if predicate is not None and columns is not None \
-            and predicate[0] not in columns:
-        columns = list(columns) + [predicate[0]]
+    predicates = _normalize_predicates(predicate)
+    if columns is not None:
+        for pcol, _lo, _hi in predicates:
+            if pcol not in columns:
+                columns = list(columns) + [pcol]
     if columns is not None:
         missing = [c for c in columns if c not in schema.names]
         if missing:
@@ -487,7 +506,8 @@ def decode_table(spark: SparkSession, out_dir: str,
                            f"{schema.names}")
         schema = StructType([f for f in schema.fields
                              if f.name in set(columns)])
-    keep = _pruned_chunks(spark, out_dir, predicate) if predicate else None
+    keep = (_pruned_chunks(spark, out_dir, predicates)
+            if predicates else None)
     blk_dir = os.path.join(out_dir, "blocks")
     paths = (sorted(os.path.join(blk_dir, p) for p in os.listdir(blk_dir)
                     if p.endswith(".ssb"))
@@ -519,8 +539,7 @@ def decode_table(spark: SparkSession, out_dir: str,
         pdf = spark.createDataFrame([(p,) for p in paths], "path string")
         out = (pdf.repartition(len(paths), "path")
                   .mapInArrow(decode, schema=schema))
-    if predicate is not None:
-        pcol, lo, hi = predicate
+    for pcol, lo, hi in predicates:
         out = out.filter((F.col(pcol) >= F.lit(lo))
                          & (F.col(pcol) <= F.lit(hi)))
     return out

@@ -52,3 +52,50 @@ def streaming_encode_sink(spark: SparkSession, stream: DataFrame,
             .foreachBatch(sink)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True))
+
+
+def decode_stream(spark: SparkSession, out_dir: str,
+                  schema=None) -> DataFrame:
+    """Streaming DECODE source — the reader half of
+    streaming_encode_sink: watch `out_dir` (recursively, e.g. the
+    sink's epoch=N/blocks dirs) for new .ssb block files and decode
+    each exactly once as it lands. Built on the binaryFile file source,
+    so Structured Streaming's own file tracking provides the
+    exactly-once-per-file guarantee; decoding stays in the same Arrow
+    kernel as batch decode_table. Pass `schema` (StructType or DDL) or
+    let it load from the first epoch's meta.json."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+    from pyspark.sql.types import StructType
+    if schema is None:
+        metas = sorted(_glob.glob(_os.path.join(out_dir, "**", "meta.json"),
+                                  recursive=True))
+        if not metas:
+            raise ValueError("no meta.json under out_dir yet; pass schema=")
+        with open(metas[0]) as f:
+            schema = StructType.fromJson(_json.load(f)["spark_schema"])
+
+    src = (spark.readStream.format("binaryFile")
+           # file streaming sources demand an explicit schema; binaryFile's
+           # is fixed by the format
+           .schema("path string, modificationTime timestamp, "
+                   "length long, content binary")
+           .option("pathGlobFilter", "*.ssb")
+           .option("recursiveFileLookup", "true")
+           .load(out_dir))
+
+    def dec(batches):
+        from ..runtime import pin_worker_threads
+        pin_worker_threads()
+        from ..codecs import decode_block as _db
+        for batch in batches:
+            for blob in batch.column(0):
+                buf = blob.as_py()
+                off = 0
+                while off < len(buf):
+                    t, used = _db(buf, off)
+                    off += used
+                    yield from t.to_batches()
+
+    return src.select("content").mapInArrow(dec, schema=schema)

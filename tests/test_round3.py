@@ -293,12 +293,32 @@ def test_decode_table_projection_and_pruning(spark, tmp_path):
                   .select("conv_id", "turn_idx").collect())
     got = sorted((r["conv_id"], r["turn_idx"]) for r in dec.collect())
     assert got == want and len(got) > 0
-    keep = _pruned_chunks(spark, out, ("turn_idx", lo, hi))
+    keep = _pruned_chunks(spark, out, [("turn_idx", lo, hi)])
     man = spark.read.parquet(out + "/manifest")
     total = (man.filter(F.col("column") == "turn_idx")
              .select("partition_id", "chunk_id").distinct().count())
     kept = sum(len(s) for s in keep.values())
     assert kept < total, f"zone map pruned nothing ({kept}/{total})"
+
+
+def test_decode_table_conjunctive_predicates(spark, tmp_path):
+    from supersonic_spark.datagen import generate_transcripts
+    from supersonic_spark.pipeline import (EncodeConfig, decode_table,
+                                           encode_table)
+    df = generate_transcripts(spark, n_convs=40, seed=9)
+    out = str(tmp_path / "enc_conj")
+    encode_table(spark, df, out, EncodeConfig(n_partitions=3, chunk_rows=128),
+                 fingerprint="conj")
+    preds = [("turn_idx", 2, 6), ("role", "a", "m")]
+    dec = decode_table(spark, out, columns=["conv_id", "turn_idx", "role"],
+                       predicate=preds)
+    want = sorted((r["conv_id"], r["turn_idx"], r["role"]) for r in
+                  df.filter(F.col("turn_idx").between(2, 6)
+                            & F.col("role").between("a", "m"))
+                  .select("conv_id", "turn_idx", "role").collect())
+    got = sorted((r["conv_id"], r["turn_idx"], r["role"])
+                 for r in dec.collect())
+    assert got == want and len(got) > 0
 
 
 def test_decode_table_string_predicate(spark, tmp_path):
@@ -351,6 +371,59 @@ def test_prefetched_propagates_reader_errors():
     assert next(it) == "a"
     with pytest.raises(RuntimeError, match="reader died"):
         list(it)
+
+
+# --- streaming decode source ------------------------------------------------
+
+def test_decode_stream_reads_new_blocks_incrementally(spark, tmp_path):
+    from supersonic_spark.datagen import generate_transcripts
+    from supersonic_spark.streaming import (decode_stream,
+                                            streaming_encode_sink)
+
+    src_dir = str(tmp_path / "src")
+    df = generate_transcripts(spark, n_convs=40, seed=2, mega_every=0)
+    df.write.mode("overwrite").parquet(src_dir)
+    n_src = spark.read.parquet(src_dir).count()
+
+    enc_dir = str(tmp_path / "enc")
+    stream = (spark.readStream.schema(spark.read.parquet(src_dir).schema)
+              .parquet(src_dir))
+    q = streaming_encode_sink(spark, stream, enc_dir,
+                              str(tmp_path / "ckpt")).start()
+    q.awaitTermination(120)
+
+    sink_dir = str(tmp_path / "dec_sink")
+    ckpt2 = str(tmp_path / "ckpt2")
+
+    def drain():
+        q = (decode_stream(spark, enc_dir).writeStream.format("parquet")
+             .option("path", sink_dir).option("checkpointLocation", ckpt2)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return spark.read.parquet(sink_dir).count()
+
+    assert drain() == n_src
+
+    # a second epoch lands -> the restarted query decodes ONLY new blocks
+    df2 = generate_transcripts(spark, n_convs=10, seed=7, mega_every=0)
+    from supersonic_spark.pipeline import EncodeConfig, encode_table
+    encode_table(spark, df2, enc_dir + "/epoch=99",
+                 EncodeConfig(n_partitions=2), fingerprint="late-epoch")
+    n2 = df2.count()
+    got2 = drain()
+    assert got2 == n_src + n2, f"expected {n_src}+{n2} total, got {got2}"
+
+    # value fidelity: decoded union matches source union by keys
+    dec_all = decode_stream(spark, enc_dir)
+    q4 = (dec_all.writeStream.format("memory").queryName("dec_all")
+          .trigger(availableNow=True).start())
+    q4.awaitTermination(120)
+    want = {(r["conv_id"], r["turn_idx"], r["text"])
+            for r in df.unionByName(df2).collect()}
+    got = {(r["conv_id"], r["turn_idx"], r["text"])
+           for r in spark.sql("SELECT conv_id, turn_idx, text FROM dec_all")
+           .collect()}
+    assert got == want
 
 
 # --- DOT plan renderer ------------------------------------------------------
