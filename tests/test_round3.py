@@ -373,6 +373,20 @@ def test_prefetched_propagates_reader_errors():
         list(it)
 
 
+# --- manifest compatibility -------------------------------------------------
+
+def test_manifest_batch_accepts_pre_zonemap_rows():
+    # resume markers written before zone maps existed lack the stats
+    # keys; they must still load (their chunks simply can't be pruned)
+    from supersonic_spark.pipeline import _manifest_batch
+    row = {"partition_id": 0, "chunk_id": 0, "column": "c", "codec": "rle",
+           "n_rows": 10, "bytes_in": 100, "bytes_out": 50,
+           "encode_sec": 0.1, "crc32": 123, "resumed": True}
+    batch = _manifest_batch([row])
+    assert batch.num_rows == 1
+    assert batch.column(batch.schema.get_field_index("vmin_num"))[0].as_py() is None
+
+
 # --- streaming decode source ------------------------------------------------
 
 def test_decode_stream_reads_new_blocks_incrementally(spark, tmp_path):
