@@ -373,6 +373,57 @@ def test_prefetched_propagates_reader_errors():
         list(it)
 
 
+# --- byte-sliced bit-packing ------------------------------------------------
+
+def test_pack_ints_block_roundtrip_all_widths():
+    import struct
+    from supersonic_spark.codecs.bitutil import (pack_ints_block,
+                                                 unpack_ints_block)
+    rng = np.random.default_rng(0)
+    for width in (0, 1, 3, 6, 7, 8, 9, 12, 15, 16, 17, 24, 31, 33, 40, 63):
+        hi = (1 << width) if width else 1
+        v = rng.integers(-(hi // 2), hi // 2 if hi > 1 else 1,
+                         size=4001).astype(np.int64)
+        buf = pack_ints_block(v)
+        # widths >= 8 must carry the sliced-layout flag, narrower not
+        assert bool(buf[16] & 0x80) == (width >= 8 and v.max() > v.min()
+                                        and (int(v.max()) - int(v.min()))
+                                        .bit_length() >= 8), width
+        out, used = unpack_ints_block(buf)
+        assert used == len(buf) and np.array_equal(out, v), width
+
+
+def test_unpack_ints_block_decodes_old_container_layout():
+    # blocks written before the sliced layout carry a bare width byte;
+    # they must keep decoding through the container path
+    import struct
+    from supersonic_spark.codecs.bitutil import pack_uints, unpack_ints_block
+    rng = np.random.default_rng(1)
+    v = rng.integers(0, 1 << 12, size=2000).astype(np.int64)
+    ref = int(v.min())
+    width = int(int(v.max()) - ref).bit_length()
+    old = (struct.pack("<q", ref) + struct.pack("<Q", len(v))
+           + bytes([width]) + pack_uints((v - ref).view(np.uint64), width))
+    out, used = unpack_ints_block(old)
+    assert used == len(old) and np.array_equal(out, v)
+
+
+def test_pfor_delta_old_width_byte_decodes():
+    import struct
+    from supersonic_spark.codecs.kernels import (decode_pfor_delta,
+                                                 encode_pfor_delta,
+                                                 typecode_of)
+    import pyarrow as pa
+    # new frames round-trip (including a width >= 8 delta stream)
+    vals = np.cumsum(np.random.default_rng(2).integers(
+        0, 5000, size=5000)).astype(np.int64)
+    arr = pa.array(vals, pa.int64())
+    tc = typecode_of(arr.type)
+    buf = encode_pfor_delta(arr, tc)
+    assert buf[16] & 0x80, "wide delta stream should use sliced layout"
+    assert decode_pfor_delta(buf, len(arr), tc).equals(arr)
+
+
 # --- manifest compatibility -------------------------------------------------
 
 def test_manifest_batch_accepts_pre_zonemap_rows():
