@@ -849,6 +849,15 @@ def q_ngram_jaccard(spark, sf):
                                n=1, threshold=0.5, df_cap=64)
 
 
+def q_token_rarity(spark, sf):
+    # corpus-relative unigram rarity (LM quality-filter signal) in exact
+    # integer arithmetic — bucket = LENGTH(BIN(n_total DIV n_tok))
+    from supersonic_spark.text.analysis import token_rarity_scores
+    d = _t(spark, sf, "documents")
+    return token_rarity_scores(d).select(
+        "doc_id", "n_tokens", "rarity_sum", "avg_rarity_x100")
+
+
 def q_pack_sequences(spark, sf):
     # token-budget training-bin assignment (cumulative-sum binning per
     # source; docs overflow bin boundaries rather than split)
@@ -1264,6 +1273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "text_token_count": q_text_token_count,
+        "token_rarity": q_token_rarity,
         "pack_sequences": q_pack_sequences,
         "mix_sources": q_mix_sources,
         "curate_corpus": q_curate_corpus,

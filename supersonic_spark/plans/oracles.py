@@ -464,6 +464,21 @@ WHERE (source = 'src0'
        AND {_H.format(x="source || '#' || doc_id")} % 10000 < 2500)
 """
 
+ORACLES["token_rarity"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents WHERE length(trim(text)) > 0),
+freqs AS (SELECT tok, count(*) AS n_tok FROM toks GROUP BY tok),
+tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS n_total FROM freqs)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(length(bin(n_total // n_tok))) AS BIGINT) AS rarity_sum,
+       CAST((CAST(SUM(length(bin(n_total // n_tok))) AS BIGINT) * 100)
+            // count(*) AS BIGINT) AS avg_rarity_x100
+FROM toks JOIN freqs USING (tok) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
 ORACLES["text_token_count"] = """
 SELECT doc_id,
        CAST(CASE WHEN length(trim(text)) = 0 THEN 0

@@ -77,3 +77,31 @@ def doc_fingerprint(col: Column) -> Column:
     norm = F.regexp_replace(F.lower(col), r"[^a-z0-9 ]", " ")
     norm = F.trim(F.regexp_replace(norm, r"\s+", " "))
     return portable_hash64(norm)
+
+
+def token_rarity_scores(df, text_col: str = "text",
+                        id_col: str = "doc_id"):
+    """Corpus-relative unigram rarity — the LM-style quality-filter
+    signal (average -log2 token probability) in EXACT integer
+    arithmetic so any engine computes bit-identical results: a token's
+    rarity bucket is bit_length(n_total DIV n_token)  (= floor(log2 of
+    the inverse frequency) + 1, computed as LENGTH(BIN(q)) which both
+    Spark and DuckDB define identically on integers), a document's
+    score sums its tokens' buckets, and avg_rarity_x100 uses integer
+    division. Plan: one explode + token-frequency aggregate + equi join
+    back + per-doc aggregate — two shuffles, no floats, no UDFs. At
+    100 TB the frequency table is vocabulary-sized (shuffle of distinct
+    tokens only) and everything else is map-side."""
+    toks = df.select(F.col(id_col),
+                     F.explode(tokens(F.col(text_col))).alias("tok"))
+    freqs = toks.groupBy("tok").agg(F.count("*").alias("n_tok"))
+    total = freqs.agg(F.sum("n_tok").alias("n_total"))
+    scored = (toks.join(freqs, "tok")
+              .crossJoin(F.broadcast(total))
+              .withColumn("bucket",
+                          F.length(F.bin(F.expr("n_total div n_tok")))))
+    return (scored.groupBy(id_col)
+            .agg(F.count("*").alias("n_tokens"),
+                 F.sum("bucket").alias("rarity_sum"))
+            .withColumn("avg_rarity_x100",
+                        F.expr("(rarity_sum * 100) div n_tokens")))

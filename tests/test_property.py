@@ -89,3 +89,46 @@ def test_binary_fsst_roundtrip(vals):
     arr = pa.array(vals, type=pa.binary())
     out, _ = decode_column(encode_column(arr, "fsst"))
     assert out.equals(arr)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=8, max_value=64), st.data())
+def test_pack_uints_sliced_matches_container(width, data):
+    from supersonic_spark.codecs.bitutil import (pack_uints_sliced,
+                                                 unpack_uints_sliced)
+    vals = np.array(
+        data.draw(st.lists(st.integers(min_value=0,
+                                       max_value=(1 << width) - 1),
+                           max_size=200)), dtype=np.uint64)
+    if len(vals) == 0:
+        return
+    sliced = pack_uints_sliced(vals, width)
+    # identical total size to the container layout, identical values back
+    assert len(sliced) == len(pack_uints(vals, width))
+    assert np.array_equal(unpack_uints_sliced(sliced, len(vals), width), vals)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.data())
+def test_decode_block_projection_property(data):
+    from supersonic_spark.codecs import decode_block, encode_block
+    from supersonic_spark.selector import choose_codecs
+    n = data.draw(st.integers(min_value=1, max_value=120))
+    tbl = pa.table({
+        "a": pa.array(data.draw(st.lists(I64, min_size=n, max_size=n)),
+                      pa.int64()),
+        "b": pa.array(data.draw(st.lists(
+            st.text(max_size=12), min_size=n, max_size=n)), pa.string()),
+        "c": pa.array(data.draw(st.lists(
+            st.floats(allow_nan=False), min_size=n, max_size=n)),
+            pa.float64()),
+    })
+    buf = encode_block(tbl, choose_codecs(tbl))
+    cols = data.draw(st.lists(st.sampled_from(["a", "b", "c"]),
+                              min_size=1, max_size=3, unique=True))
+    out, used = decode_block(buf, columns=cols)
+    assert used == len(buf)
+    assert set(out.column_names) == set(cols)
+    for c in cols:
+        assert out.column(c).combine_chunks().equals(
+            tbl.column(c).combine_chunks()), c

@@ -373,6 +373,19 @@ def test_prefetched_propagates_reader_errors():
         list(it)
 
 
+# --- token rarity (unigram LM signal) ---------------------------------------
+
+def test_token_rarity_hand_computed(spark):
+    from supersonic_spark.text.analysis import token_rarity_scores
+    df = spark.createDataFrame([(1, "a a b"), (2, "b c")],
+                               "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["rarity_sum"], r["avg_rarity_x100"])
+           for r in token_rarity_scores(df).collect()}
+    # total 5 tokens; buckets: a -> len(bin(5 div 2))=2, b -> 2,
+    # c -> len(bin(5))=3
+    assert got == {1: (3, 6, 200), 2: (2, 5, 250)}, got
+
+
 # --- byte-sliced bit-packing ------------------------------------------------
 
 def test_pack_ints_block_roundtrip_all_widths():
