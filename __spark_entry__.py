@@ -1144,6 +1144,37 @@ def q_tpch_q10_returned_items(spark, sf):
             .limit(20))
 
 
+def q_tpch_q6_forecast_revenue(spark, sf):
+    """Q6 shape: pure filter + scalar aggregate — the pushdown showcase
+    (every predicate reaches the parquet scan; one partial/final agg)."""
+    li = _t(spark, sf, "lineitem")
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1997-01-01").cast("timestamp")
+    f = li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+                  & (F.col("l_discount") >= 0.05)
+                  & (F.col("l_discount") <= 0.07)
+                  & (F.col("l_quantity") < 24))
+    return f.agg(F.sum(_cents(F.col("l_extendedprice")
+                              * F.col("l_discount")))
+                 .alias("revenue_cents"),
+                 F.count("*").alias("n"))
+
+
+def q_window_lag_lead(spark, sf):
+    # per-user event deltas via lag/lead over a bounded (user) window —
+    # partitioned windows parallelize per key, never a global window
+    from pyspark.sql import Window
+    ev = _t(spark, sf, "events").filter(F.col("event_id") < 3000)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id", "event_id",
+        _cents(F.col("value")).alias("value_cents"),
+        _cents(F.lag("value").over(w)).alias("prev_cents"),
+        _cents(F.lead("value").over(w)).alias("next_cents"),
+        (F.unix_timestamp("ts")
+         - F.lag(F.unix_timestamp("ts")).over(w)).alias("gap_s"))
+
+
 def q_tpch_q18_large_orders(spark, sf):
     """Q18 shape: customers with orders whose lineitem quantity sum
     exceeds a threshold — groupBy+HAVING feeding a 3-way join, then a
@@ -1296,7 +1327,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
         "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
         "tpch_q10_returned_items": q_tpch_q10_returned_items,
+        "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
         "tpch_q18_large_orders": q_tpch_q18_large_orders,
+        "window_lag_lead": q_window_lag_lead,
     }
 
 

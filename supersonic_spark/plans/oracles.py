@@ -971,6 +971,28 @@ ORDER BY revenue_cents DESC, c_custkey
 LIMIT 20
 """
 
+ORACLES["tpch_q6_forecast_revenue"] = """
+SELECT CAST(SUM(CAST(round(l_extendedprice * l_discount * 100, 0)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents,
+       count(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+ORACLES["window_lag_lead"] = """
+SELECT CAST(user_id AS BIGINT) AS user_id, event_id,
+       CAST(round(value*100, 0) AS BIGINT) AS value_cents,
+       CAST(round(lag(value) OVER w * 100, 0) AS BIGINT) AS prev_cents,
+       CAST(round(lead(value) OVER w * 100, 0) AS BIGINT) AS next_cents,
+       CAST(floor(epoch(ts)) - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w
+            AS BIGINT) AS gap_s
+FROM events WHERE event_id < 3000
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
 ORACLES["tpch_q18_large_orders"] = """
 WITH big AS (
   SELECT l_orderkey,
