@@ -849,6 +849,21 @@ def q_ngram_jaccard(spark, sf):
                                n=1, threshold=0.5, df_cap=64)
 
 
+def q_sample_per_group(spark, sf):
+    # deterministic per-source document cap (training-mix contribution
+    # limit) — engine-reproducible pseudo-random rank, partitioned window
+    from supersonic_spark.text.curate import sample_per_group
+    d = _t(spark, sf, "documents")
+    return sample_per_group(d, 20).select("doc_id", "source")
+
+
+def q_redact_pii(spark, sf):
+    # curation-time PII scrubbing: emails, hex blobs, digit runs
+    from supersonic_spark.text.analysis import redact_pii
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", redact_pii(F.col("text")).alias("redacted"))
+
+
 def q_token_rarity(spark, sf):
     # corpus-relative unigram rarity (LM quality-filter signal) in exact
     # integer arithmetic — bucket = LENGTH(BIN(n_total DIV n_tok))
@@ -1305,6 +1320,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "text_token_count": q_text_token_count,
         "token_rarity": q_token_rarity,
+        "sample_per_group": q_sample_per_group,
+        "redact_pii": q_redact_pii,
         "pack_sequences": q_pack_sequences,
         "mix_sources": q_mix_sources,
         "curate_corpus": q_curate_corpus,

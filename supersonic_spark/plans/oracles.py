@@ -464,6 +464,29 @@ WHERE (source = 'src0'
        AND {_H.format(x="source || '#' || doc_id")} % 10000 < 2500)
 """
 
+ORACLES["sample_per_group"] = f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {_H.format(x="source || '#' || doc_id")} ASC,
+                    doc_id ASC) AS rk
+  FROM documents)
+WHERE rk <= 20
+"""
+
+ORACLES["redact_pii"] = """
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>',
+             'g'),
+           '[0-9a-fA-F]{16,}', '<HEX>', 'g'),
+         '[0-9][0-9 ()+-]{6,}[0-9]', '<NUM>', 'g') AS redacted
+FROM documents
+"""
+
 ORACLES["token_rarity"] = """
 WITH toks AS (
   SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok

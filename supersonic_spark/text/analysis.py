@@ -105,3 +105,16 @@ def token_rarity_scores(df, text_col: str = "text",
                  F.sum("bucket").alias("rarity_sum"))
             .withColumn("avg_rarity_x100",
                         F.expr("(rarity_sum * 100) div n_tokens")))
+
+
+def redact_pii(col: Column) -> Column:
+    """Curation-time PII scrubbing: emails, then long digit runs
+    (phone/account numbers), then 16+-char hex blobs (tokens/keys) —
+    replaced with typed placeholders. Patterns are plain RE2-compatible
+    classes so Spark (Java regex) and DuckDB (RE2) rewrite
+    identically; order matters (emails contain digits)."""
+    out = F.regexp_replace(
+        col, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    out = F.regexp_replace(out, "[0-9a-fA-F]{16,}", "<HEX>")
+    out = F.regexp_replace(out, "[0-9][0-9 ()+-]{6,}[0-9]", "<NUM>")
+    return out

@@ -60,3 +60,20 @@ def mix_sources(df: DataFrame, weights: dict[str, float],
     if expr is None:
         expr = F.lit(False)
     return df.filter(expr)
+
+
+def sample_per_group(df: DataFrame, k: int, group_col: str = "source",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Deterministic cap of k documents per group — the
+    per-source-contribution limit of a training mix. Ranks each group's
+    docs by (portable_hash(group||'#'||id), id) — a fixed pseudo-random
+    but engine-reproducible order — and keeps the first k. Partitioned
+    window only (parallel per group, never global); at 100 TB the
+    window partition is one group's rows on one reducer, same cost
+    shape as any per-group top-k."""
+    from pyspark.sql import Window
+    h = portable_hash64(F.concat_ws("#", F.col(group_col),
+                                    F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (df.withColumn("_rk", F.row_number().over(w))
+              .filter(F.col("_rk") <= k).drop("_rk"))

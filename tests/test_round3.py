@@ -373,6 +373,38 @@ def test_prefetched_propagates_reader_errors():
         list(it)
 
 
+# --- curation: per-group sampling + PII redaction ---------------------------
+
+def test_sample_per_group_caps_and_is_deterministic(spark):
+    from supersonic_spark.text.curate import sample_per_group
+    rows = [(f"s{i % 3}", i, f"t{i}") for i in range(90)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    out1 = sorted(r["doc_id"] for r in sample_per_group(df, 10).collect())
+    out2 = sorted(r["doc_id"] for r in
+                  sample_per_group(df.repartition(7), 10).collect())
+    assert out1 == out2 and len(out1) == 30   # 10 per source, stable
+    per_src = {}
+    for r in sample_per_group(df, 10).collect():
+        per_src[r["source"]] = per_src.get(r["source"], 0) + 1
+    assert all(v == 10 for v in per_src.values())
+
+
+def test_redact_pii_patterns(spark):
+    from supersonic_spark.text.analysis import redact_pii
+    df = spark.createDataFrame(
+        [(1, "mail me at jo.doe+x@exam-ple.org now"),
+         (2, "call +1 (555) 123-4567 ok"),
+         (3, "token deadbeefcafe1234deadbeef here"),
+         (4, "clean text only")],
+        "id long, text string")
+    got = {r["id"]: r["red"] for r in
+           df.select("id", redact_pii(F.col("text")).alias("red")).collect()}
+    assert got[1] == "mail me at <EMAIL> now"
+    assert got[2] == "call +<NUM> ok"
+    assert got[3] == "token <HEX> here"
+    assert got[4] == "clean text only"
+
+
 # --- token rarity (unigram LM signal) ---------------------------------------
 
 def test_token_rarity_hand_computed(spark):
