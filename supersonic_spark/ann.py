@@ -48,9 +48,20 @@ def cosine_topk(df: DataFrame, query: list[float], k: int,
 def pairwise_cosine_pairs(df: DataFrame, threshold: float,
                           id_col: str = "vec_id",
                           vec_col: str = "embedding",
-                          block_col: str | None = None) -> DataFrame:
-    """Embedding near-duplicate pairs: cosine >= threshold, optionally
-    blocked by block_col (always block at scale)."""
+                          block_col: str | None = None,
+                          allow_cross_join: bool = False) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine >= threshold within blocks.
+
+    block_col is REQUIRED: the blocked plan is an equi self-join, the
+    unblocked one an all-pairs CartesianProduct — a scale-killer that
+    silently works at toy sizes. Derive a block key with lsh_bucket /
+    ivf_assign when the data has no natural one; pass
+    allow_cross_join=True only for deliberately tiny exact sweeps."""
+    if block_col is None and not allow_cross_join:
+        raise ValueError(
+            "pairwise_cosine_pairs without block_col plans an all-pairs "
+            "cross join; block by lsh_bucket()/ivf_assign() output (or any "
+            "natural key), or pass allow_cross_join=True for tiny inputs")
     a = df.select(F.col(id_col).alias("id_a"),
                   F.col(vec_col).cast("array<double>").alias("va"),
                   *([F.col(block_col)] if block_col else []))
@@ -137,15 +148,67 @@ def ivf_assign(df: DataFrame, centroids: list[list[float]],
 
 
 def train_centroids(df: DataFrame, k: int, id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> list[list[float]]:
-    """Deterministic coarse centroids: the k vectors with the smallest
-    portable hash of their id (a seeded sample, no iterative k-means —
-    adequate as an IVF coarse quantizer and fully reproducible)."""
+                    vec_col: str = "embedding",
+                    lloyd_iters: int = 2) -> list[list[float]]:
+    """Deterministic coarse centroids: seeds are the k vectors with the
+    smallest portable hash of their id (reproducible, no RNG), refined by
+    `lloyd_iters` Lloyd iterations for IVF cell balance/recall. Each
+    iteration is one scan: the Arrow quantizer kernel assigns cells and
+    emits ONE (cell, vector-sum, count) partial per task (map-side
+    combine), a tiny (tasks x k x dim)-row Spark agg folds the partials,
+    and only k centroid rows reach the driver — no n-row collect, no
+    n x dim explode shuffle. Empty cells keep their previous centroid.
+    lloyd_iters=0 reproduces the round-3 hash-sample behavior."""
     from .text.analysis import portable_hash64
     rows = (df.select(vec_col,
                       portable_hash64(F.col(id_col).cast("string")).alias("h"))
               .orderBy("h").limit(k).collect())
-    return [list(map(float, r[vec_col])) for r in rows]
+    cents = [list(map(float, r[vec_col])) for r in rows]
+    for _ in range(lloyd_iters):
+        cents = _lloyd_step(df, cents, id_col, vec_col)
+    return cents
+
+
+def _lloyd_step(df: DataFrame, centroids: list[list[float]],
+                id_col: str, vec_col: str) -> list[list[float]]:
+    """One Lloyd iteration: nearest-centroid assign + per-cell mean."""
+    import numpy as np
+    c = np.asarray(centroids, dtype=np.float64)          # (k, dim)
+    k, dim = c.shape
+    c_sq = (c * c).sum(axis=1)
+
+    def run(batches):
+        from supersonic_spark.runtime import pin_worker_threads
+        pin_worker_threads()
+        import pyarrow as pa
+        sums = np.zeros((k, dim))
+        cnts = np.zeros(k, dtype=np.int64)
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            m = _list_to_matrix(batch.column(0), dim)
+            cells = (c_sq[None, :] - 2.0 * (m @ c.T)).argmin(axis=1)
+            np.add.at(sums, cells, m)
+            np.add.at(cnts, cells, 1)
+        live = np.nonzero(cnts)[0]
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(live.astype(np.int32), pa.int32()),
+             pa.array(sums[live].tolist(), pa.list_(pa.float64())),
+             pa.array(cnts[live], pa.int64())],
+            ["cell", "psum", "cnt"])
+
+    partials = (df.select(vec_col)
+                  .mapInArrow(run, schema="cell int, psum array<double>, "
+                                          "cnt long"))
+    sums = (partials.select("cell", "cnt",
+                            F.posexplode("psum").alias("pos", "v"))
+            .groupBy("cell", "pos").agg(F.sum("v").alias("s")).collect())
+    cnts = partials.groupBy("cell").agg(F.sum("cnt").alias("n")).collect()
+    n_by_cell = {r["cell"]: int(r["n"]) for r in cnts}
+    new = np.array(c)                  # empty cells keep their seed
+    for r in sums:
+        new[r["cell"], r["pos"]] = r["s"] / n_by_cell[r["cell"]]
+    return [list(map(float, row)) for row in new]
 
 
 # --- Arrow-batched kernels (the 100 TB hot path) ---------------------------

@@ -59,57 +59,73 @@ def _pid_col() -> Column:
     return F.shiftright(F.col("_mid"), _MID_PART_SHIFT)
 
 
+_OFFSET_MAP_MAX_ENTRIES = 10_000  # above this, plan-literal map -> broadcast join
+
+
+def _group_key(group_cols: list[str]) -> Column:
+    """Group slice rendered as ONE string column, Spark-side. Both the
+    offsets job and the consumer evaluate this same expression, so the
+    driver never re-implements CAST(x AS STRING) semantics (doubles render
+    as 1.0E7 in Spark but 10000000.0 in Python — a silent key mismatch)."""
+    parts = [F.coalesce(F.col(g).cast("string"), F.lit(_NULL_TOKEN))
+             for g in group_cols]
+    return F.concat_ws(_KEY_SEP, *parts) if parts else F.lit("")
+
+
 def _offset_key(group_cols: list[str]) -> Column:
     parts = [_pid_col().cast("string")]
-    parts += [F.coalesce(F.col(g).cast("string"), F.lit(_NULL_TOKEN))
-              for g in group_cols]
+    if group_cols:
+        parts.append(_group_key(group_cols))
     return F.concat_ws(_KEY_SEP, *parts)
 
 
-def _prefix_offset_map(keyed: DataFrame, group_cols: list[str],
-                       value: Column) -> Column:
-    """Exclusive prefix offsets across partitions, restarting per group:
-    collect ONE tiny row per (partition, group-slice) — O(#partitions +
-    #groups) because range partitioning keeps each group contiguous — and
-    fold it into a literal lookup map keyed by pid[<sep>group...].
-    Driver-safe even at thousands of executors."""
-    parts = (keyed.groupBy(_pid_col().alias("_pid"), *group_cols)
+def _with_offset(keyed: DataFrame, group_cols: list[str],
+                 value: Column) -> DataFrame:
+    """Attach exclusive cross-partition prefix offsets as `_off`,
+    restarting per group: collect ONE tiny row per (partition,
+    group-slice) — O(#partitions + #groups) because range partitioning
+    keeps each group contiguous — and ship it back either as a literal
+    lookup map (small) or, above _OFFSET_MAP_MAX_ENTRIES, as a
+    broadcast-joined offsets table so the serialized plan never carries a
+    megabyte create_map at 10k+ partitions × many groups. Group keys are
+    rendered Spark-side (_group_key) on BOTH the offsets job and the
+    lookup, so CAST-to-string semantics always agree."""
+    parts = (keyed.groupBy(_pid_col().alias("_pid"),
+                           _group_key(group_cols).alias("_gk"))
                   .agg(F.sum(value).alias("_t")).collect())
-
-    def py_str(v):
-        # must match Spark's CAST(x AS STRING) for every supported group
-        # type: booleans render lowercase there, uppercase in Python
-        if v is None:
-            return _NULL_TOKEN
-        if isinstance(v, bool):
-            return "true" if v else "false"
-        return str(v)
-
-    def gkey(r):
-        return tuple(py_str(r[g]) for g in group_cols)
-
-    acc: dict[tuple, int] = {}
-    entries: list = []
-    for r in sorted(parts, key=lambda r: (gkey(r), r["_pid"])):
-        g = gkey(r)
-        key = _KEY_SEP.join((str(int(r["_pid"])),) + g)
-        entries += [F.lit(key), F.lit(acc.get(g, 0))]
+    acc: dict[str, int] = {}
+    rows: list[tuple[int, str, int]] = []
+    for r in sorted(parts, key=lambda r: (r["_gk"], r["_pid"])):
+        g = r["_gk"]
+        rows.append((int(r["_pid"]), g, acc.get(g, 0)))
         acc[g] = acc.get(g, 0) + int(r["_t"] or 0)
-    return F.create_map(*entries) if entries else F.create_map()
+
+    if len(rows) <= _OFFSET_MAP_MAX_ENTRIES:
+        entries: list = []
+        for pid, g, off in rows:
+            key = _KEY_SEP.join((str(pid), g)) if group_cols else str(pid)
+            entries += [F.lit(key), F.lit(off)]
+        off_map = F.create_map(*entries) if entries else F.create_map()
+        return keyed.withColumn("_off", off_map[_offset_key(group_cols)])
+
+    off_df = keyed.sparkSession.createDataFrame(
+        rows, schema="_pid long, _gk string, _off long")
+    return (keyed.withColumn("_pid", _pid_col())
+                 .withColumn("_gk", _group_key(group_cols))
+                 .join(F.broadcast(off_df), ["_pid", "_gk"], "left")
+                 .drop("_pid", "_gk"))
 
 
 def with_rowid(df: DataFrame, order: list[str],
                out: str = "_rowid", n_partitions: int | None = None) -> DataFrame:
     """Dense 0-based row ids under a total order WITHOUT a global Window
     (which would serialize all rows through one partition at scale):
-    _range_keyed partitioning + the _prefix_offset_map of row counts, the
+    _range_keyed partitioning + the _with_offset map of row counts, the
     local index coming free from monotonically_increasing_id."""
-    keyed = _range_keyed(df, order, n_partitions)
-    off_map = _prefix_offset_map(keyed, [], F.lit(1))
+    keyed = _with_offset(_range_keyed(df, order, n_partitions), [], F.lit(1))
     local = F.col("_mid").bitwiseAND(F.lit((1 << _MID_PART_SHIFT) - 1))
-    return (keyed.withColumn(out, (off_map[_offset_key([])] + local)
-                             .cast("long"))
-            .drop("_mid"))
+    return (keyed.withColumn(out, (F.col("_off") + local).cast("long"))
+            .drop("_mid", "_off"))
 
 
 def with_prefix_sum(df: DataFrame, order: list[str], value_col: str,
@@ -128,14 +144,14 @@ def with_prefix_sum(df: DataFrame, order: list[str], value_col: str,
     running sums, whose single-task-per-group plan is a scale-killer."""
     from pyspark.sql import Window
     group_cols = list(group_cols or [])
-    keyed = _range_keyed(df, group_cols + order, n_partitions)
-    off_map = _prefix_offset_map(keyed, group_cols, F.col(value_col))
+    keyed = _with_offset(_range_keyed(df, group_cols + order, n_partitions),
+                         group_cols, F.col(value_col))
     end = Window.currentRow if inclusive else -1
     w = (Window.partitionBy(_pid_col(), *group_cols).orderBy(*order)
          .rowsBetween(Window.unboundedPreceding, end))
     local = F.coalesce(F.sum(value_col).over(w), F.lit(0))
-    return (keyed.withColumn(out, off_map[_offset_key(group_cols)] + local)
-            .drop("_mid"))
+    return (keyed.withColumn(out, F.col("_off") + local)
+            .drop("_mid", "_off"))
 
 
 def rowid_merge_join(left: DataFrame, right: DataFrame, fk: str,

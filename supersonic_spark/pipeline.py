@@ -57,7 +57,47 @@ MANIFEST_SCHEMA = StructType([
     StructField("vmax_num", DoubleType(), True),
     StructField("vmin_str", StringType(), True),
     StructField("vmax_str", StringType(), True),
+    # per-chunk bloom filter (base64: 1 byte hash-count k + bitset) for
+    # point-lookup pruning on non-sort columns; NULL = no bloom recorded
+    StructField("bloom_b64", StringType(), True),
 ])
+
+
+def _bloom_hash2(v) -> tuple[int, int]:
+    """Two independent 64-bit hashes of a value's canonical string form
+    (double hashing generates the k probe positions). blake2b keeps the
+    build (worker) and probe (driver/executor) bit-identical everywhere."""
+    d = hashlib.blake2b(str(v).encode(), digest_size=16).digest()
+    return (int.from_bytes(d[:8], "little"), int.from_bytes(d[8:], "little"))
+
+
+def _bloom_build(col, n_bits: int, k: int) -> str | None:
+    """Base64 bloom (k byte + bitset) over a chunk's distinct values;
+    string/int columns only (float repr is not canonical across engines)."""
+    import base64
+    import pyarrow.compute as pc
+    t = col.type
+    if not (pa.types.is_string(t) or pa.types.is_large_string(t)
+            or pa.types.is_integer(t)):
+        return None
+    vals = [v for v in pc.unique(col).to_pylist() if v is not None]
+    if not vals:
+        return None
+    bits = bytearray((n_bits + 7) // 8)
+    for v in vals:
+        h1, h2 = _bloom_hash2(v)
+        for i in range(k):
+            p = (h1 + i * h2) % n_bits
+            bits[p >> 3] |= 1 << (p & 7)
+    return base64.b64encode(bytes([k]) + bytes(bits)).decode()
+
+
+def _bloom_member(value, blob: bytes) -> bool:
+    k = blob[0]
+    n_bits = (len(blob) - 1) * 8
+    h1, h2 = _bloom_hash2(value)
+    return all(blob[1 + (p >> 3)] & (1 << (p & 7))
+               for p in ((h1 + i * h2) % n_bits for i in range(k)))
 
 
 def _zone_stats(col) -> tuple:
@@ -68,8 +108,12 @@ def _zone_stats(col) -> tuple:
     import numpy as np
     import pyarrow.compute as pc
     t = col.type
+    scale = 1
     try:
         if pa.types.is_timestamp(t):
+            # normalize every source unit to ns-since-epoch so driver-side
+            # datetime predicate bounds have ONE fixed unit to convert to
+            scale = {"s": 10 ** 9, "ms": 10 ** 6, "us": 10 ** 3, "ns": 1}[t.unit]
             col, t = col.cast(pa.int64()), pa.int64()
         if (pa.types.is_integer(t) or pa.types.is_floating(t)
                 or pa.types.is_boolean(t)):
@@ -77,6 +121,7 @@ def _zone_stats(col) -> tuple:
             lo, hi = mm["min"].as_py(), mm["max"].as_py()
             if lo is None:
                 return None, None, None, None
+            lo, hi = lo * scale, hi * scale
             lo_f, hi_f = float(lo), float(hi)
             if abs(lo) > 2 ** 53:
                 lo_f = float(np.nextafter(lo_f, -np.inf))
@@ -141,6 +186,16 @@ class EncodeConfig:
     # those two conversations (a few bytes), NEVER correctness. Expected
     # collisions at 10^12 turns / ~10^10 convs: ~3 pairs.
     fixed_width_shuffle_key: bool = True
+    # bloom-filter chunk stats for point lookups on NON-sort columns.
+    # Zone maps only prune on sorted/clustered columns (min/max of an
+    # unsorted column spans everything); a small per-(chunk, column)
+    # bloom prunes equality predicates anywhere — the "fetch one user's
+    # turns out of 10^12" path. Cost: bloom_bits/8 bytes per chunk per
+    # listed column in the manifest; membership is probed distributed
+    # (mapInArrow over the manifest), never driver-side blob collection.
+    bloom_cols: tuple[str, ...] = ()
+    bloom_bits: int = 16384          # 2 KiB per chunk-column
+    bloom_hashes: int = 5
 
     def __post_init__(self) -> None:
         from .codecs.framing import validate_entropy
@@ -156,6 +211,8 @@ class EncodeConfig:
             "sort_keys": list(self.sort_keys),
             "codec_overrides": sorted(self.codec_overrides.items()),
             "entropy": self.entropy,
+            "bloom": [list(self.bloom_cols), self.bloom_bits,
+                      self.bloom_hashes],
             "fingerprint": fingerprint,
         }, sort_keys=True).encode()
         return hashlib.md5(blob).hexdigest()[:12]
@@ -174,29 +231,50 @@ def _prefetched(batches: Iterator[pa.RecordBatch],
     import threading
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     _END = object()
+    stop = threading.Event()  # set when the consumer abandons the generator
+
+    def put(item) -> bool:
+        # bounded put that gives up once the consumer is gone, so an
+        # abandoned feeder never blocks forever on a full queue while
+        # PySpark's post-UDF cleanup drains the same stream from the main
+        # thread (concurrent iteration would turn a clean kernel error
+        # into a confusing crash)
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def feed():
         try:
             for b in batches:
-                q.put(b)
-            q.put(_END)
+                if not put(b):
+                    return
+            put(_END)
         except BaseException as e:   # surface reader errors in the consumer
-            q.put(e)
+            put(e)
 
     threading.Thread(target=feed, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
 
 
 def _encoder(out_dir: str, cfg_hash: str, overrides: dict[str, str],
              chunk_rows: int, entropy: str | None = None,
              sort_keys: tuple[str, ...] | None = None,
-             prefetch: int = 2):
+             prefetch: int = 2,
+             bloom_cols: tuple[str, ...] = (),
+             bloom_bits: int = 16384, bloom_hashes: int = 5):
     """mapInArrow kernel: encode this partition's rows into one block file."""
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -271,6 +349,10 @@ def _encoder(out_dir: str, cfg_hash: str, overrides: dict[str, str],
                             "resumed": False,
                             "vmin_num": zmin, "vmax_num": zmax,
                             "vmin_str": zmin_s, "vmax_str": zmax_s,
+                            # base64 string: JSON-safe in resume markers
+                            "bloom_b64": (_bloom_build(col, bloom_bits,
+                                                       bloom_hashes)
+                                          if name in bloom_cols else None),
                         })
                     chunk_id += 1
 
@@ -346,6 +428,8 @@ def _manifest_batch(rows: list[dict]) -> pa.RecordBatch:
         "vmax_num": pa.array([r.get("vmax_num") for r in rows], pa.float64()),
         "vmin_str": pa.array([r.get("vmin_str") for r in rows], pa.string()),
         "vmax_str": pa.array([r.get("vmax_str") for r in rows], pa.string()),
+        "bloom_b64": pa.array([r.get("bloom_b64") for r in rows],
+                              pa.string()),
     }
     return pa.RecordBatch.from_pydict(arrays)
 
@@ -428,19 +512,77 @@ def encode_table(spark: SparkSession, df: DataFrame, out_dir: str,
         _encoder(out_dir, cfg_hash, cfg.codec_overrides, cfg.chunk_rows,
                  entropy=cfg.entropy,
                  sort_keys=cfg.sort_keys if cfg.sort_in_kernel else None,
-                 prefetch=cfg.prefetch_batches),
+                 prefetch=cfg.prefetch_batches,
+                 bloom_cols=cfg.bloom_cols, bloom_bits=cfg.bloom_bits,
+                 bloom_hashes=cfg.bloom_hashes),
         schema=MANIFEST_SCHEMA)
     manifest.write.mode("overwrite").parquet(os.path.join(out_dir, "manifest"))
     return spark.read.parquet(os.path.join(out_dir, "manifest"))
 
 
 def _normalize_predicates(predicate) -> list[tuple]:
-    """One (col, lo, hi) tuple or a list of them (ANDed)."""
+    """One (col, lo, hi) tuple or a list of them (ANDed). Bounds must be
+    int/float/str/datetime/date — anything else raises instead of silently
+    mispruning (zone-map comparison against an unexpected literal type
+    could drop chunks the residual filter can never restore)."""
+    import datetime as _dt
     if predicate is None:
         return []
-    if isinstance(predicate, tuple):
-        return [predicate]
-    return list(predicate)
+    preds = [predicate] if isinstance(predicate, tuple) else list(predicate)
+    for pcol, lo, hi in preds:
+        for v in (lo, hi):
+            if not isinstance(v, (int, float, str, _dt.date, _dt.datetime)):
+                raise TypeError(
+                    f"predicate bound for {pcol!r} must be int/float/str/"
+                    f"datetime/date, got {type(v).__name__}")
+        if isinstance(lo, str) != isinstance(hi, str):
+            raise TypeError(f"predicate bounds for {pcol!r} mix string and "
+                            f"non-string types")
+    return preds
+
+
+def _bound_ns(v, widen: int):
+    """Datetime/date bound -> ns-since-epoch (the unit _zone_stats
+    normalizes timestamp zone maps to), widened OUTWARD by one second in
+    the `widen` direction (-1 for lower bounds, +1 for upper) so timezone
+    /float rounding in the conversion can only ever keep extra chunks —
+    the residual filter re-applies the exact predicate after decode.
+    Numbers/strings pass through unchanged."""
+    import datetime as _dt
+    if isinstance(v, _dt.datetime):
+        ns = int(v.timestamp()) * 10 ** 9 + v.microsecond * 10 ** 3
+        return ns + widen * 10 ** 9
+    if isinstance(v, _dt.date):
+        epoch_days = (v - _dt.date(1970, 1, 1)).days
+        # cover the bound's whole day, then one day outward
+        return (epoch_days + (1 if widen > 0 else 0) + widen) * 86_400 * 10 ** 9
+    return v
+
+
+def _bloom_filter_chunks(man_sel: DataFrame, predicates_value) -> DataFrame:
+    """Keep manifest rows whose chunk bloom may contain the value (NULL
+    bloom = no stats = always kept). Runs as mapInArrow over the manifest
+    so blobs are probed executor-side — at 10^12-turn scale the manifest
+    is itself a big table and the blobs must never be collected."""
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import base64
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            pids = tbl.column("partition_id").to_pylist()
+            cids = tbl.column("chunk_id").to_pylist()
+            blobs = tbl.column("bloom_b64").to_pylist()
+            kp, kc = [], []
+            for p, c, b in zip(pids, cids, blobs):
+                if b is None or _bloom_member(predicates_value,
+                                              base64.b64decode(b)):
+                    kp.append(p)
+                    kc.append(c)
+            yield pa.RecordBatch.from_pydict({
+                "partition_id": pa.array(kp, pa.int32()),
+                "chunk_id": pa.array(kc, pa.int32())})
+
+    return (man_sel.select("partition_id", "chunk_id", "bloom_b64")
+            .mapInArrow(run, schema="partition_id int, chunk_id int"))
 
 
 def _pruned_chunks(spark: SparkSession, out_dir: str,
@@ -459,12 +601,23 @@ def _pruned_chunks(spark: SparkSession, out_dir: str,
     keep: dict[int, set] | None = None
     for pcol, lo, hi in predicates:
         is_str = isinstance(lo, str)
+        # datetime/date bounds -> the ns-since-epoch unit _zone_stats
+        # normalizes timestamp zone maps to, widened outward (a raw
+        # timestamp literal would compare in epoch SECONDS and silently
+        # prune every chunk)
+        is_eq = (lo == hi and isinstance(lo, (int, str))
+                 and not isinstance(lo, bool))
+        lo, hi = _bound_ns(lo, -1), _bound_ns(hi, +1)
         vmin = F.col("vmin_str") if is_str else F.col("vmin_num")
         vmax = F.col("vmax_str") if is_str else F.col("vmax_num")
         keep_cond = (vmin.isNull() | vmax.isNull()
                      | ((vmax >= F.lit(lo)) & (vmin <= F.lit(hi))))
-        rows = (man.filter(F.col("column") == pcol).filter(keep_cond)
-                .select("partition_id", "chunk_id").distinct().collect())
+        sel = man.filter(F.col("column") == pcol).filter(keep_cond)
+        if is_eq and "bloom_b64" in man.columns:
+            # point lookup: probe the per-chunk blooms DISTRIBUTED (the
+            # blobs never reach the driver — only surviving ids do)
+            sel = _bloom_filter_chunks(sel, predicates_value=lo)
+        rows = sel.select("partition_id", "chunk_id").distinct().collect()
         this: dict[int, set] = {}
         for r in rows:
             this.setdefault(r["partition_id"], set()).add(r["chunk_id"])
@@ -489,16 +642,23 @@ def decode_table(spark: SparkSession, out_dir: str,
     (conjunction) — whole chunks whose zone maps can't overlap every
     range are skipped without decoding (manifest min/max, the
     row-group-stats analogue), then the exact filters are re-applied to
-    decoded rows so results are precise regardless of stats. Numeric
-    and string columns only."""
+    decoded rows so results are precise regardless of stats. Bounds may
+    be numeric, string, or datetime/date (converted to the zone maps'
+    ns-since-epoch unit, widened outward). An equality lookup is the
+    (col, v, v) range; when the table was encoded with that column in
+    EncodeConfig.bloom_cols, per-chunk bloom filters additionally prune
+    chunks whose min/max span the value — the point-lookup path for
+    non-sort columns."""
     with open(os.path.join(out_dir, "meta.json")) as f:
         meta = json.load(f)
     schema = StructType.fromJson(meta["spark_schema"])
     predicates = _normalize_predicates(predicate)
+    extra_pred_cols: list[str] = []  # decoded only to evaluate predicates
     if columns is not None:
         for pcol, _lo, _hi in predicates:
             if pcol not in columns:
                 columns = list(columns) + [pcol]
+                extra_pred_cols.append(pcol)
     if columns is not None:
         missing = [c for c in columns if c not in schema.names]
         if missing:
@@ -542,6 +702,8 @@ def decode_table(spark: SparkSession, out_dir: str,
     for pcol, lo, hi in predicates:
         out = out.filter((F.col(pcol) >= F.lit(lo))
                          & (F.col(pcol) <= F.lit(hi)))
+    if extra_pred_cols:   # callers asked for columns=, not the predicate col
+        out = out.drop(*extra_pred_cols)
     return out
 
 

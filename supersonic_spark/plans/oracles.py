@@ -1039,3 +1039,60 @@ SELECT vec_id,
        unnest(embedding) AS val
 FROM embeddings
 """
+
+ORACLES["expr_datetime3"] = """
+SELECT event_id,
+       make_timestamp(us) AS ts_us,
+       us % 1000000 AS micro,
+       strftime(make_timestamp(us), '%f') AS frac_str,
+       us AS epoch_us
+FROM (SELECT event_id,
+             epoch_us(ts) + (event_id * 137) % 1000000 AS us
+      FROM events)
+"""
+
+ORACLES["expr_div_variants"] = """
+SELECT o_orderkey,
+       round(CASE WHEN dnm = 0 THEN NULL
+                  ELSE cents / dnm END, 4) AS quiet_div,
+       round(CASE WHEN dnm <> 0 THEN cents / dnm END, 4)
+         AS signal_div_guarded,
+       CAST(cents // NULLIF(dnm, 0) AS BIGINT) AS int_div,
+       CAST(cents % NULLIF(dnm, 0) AS BIGINT) AS mod_v
+FROM (SELECT o_orderkey, o_orderkey % 7 AS dnm,
+             CAST(round(o_totalprice*100,0) AS BIGINT) AS cents
+      FROM orders)
+"""
+
+ORACLES["tpch_q14_promo_revenue"] = """
+SELECT promo_cents, total_cents,
+       CAST(promo_cents * 10000 // total_cents AS BIGINT) AS promo_bps
+FROM (
+  SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(round(l_extendedprice * (1 - l_discount)
+                                       * 100, 0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS promo_cents,
+         CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                       AS BIGINT)) AS BIGINT) AS total_cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01')
+"""
+
+ORACLES["tpch_q4_priority_check"] = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > CAST(o_orderdate AS DATE)
+                                 + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+ORACLES["codec_point_lookup"] = """
+SELECT event_id, user_id, event_type
+FROM events WHERE user_id = 7
+"""

@@ -108,11 +108,13 @@ def token_rarity_scores(df, text_col: str = "text",
 
 
 def redact_pii(col: Column) -> Column:
-    """Curation-time PII scrubbing: emails, then long digit runs
-    (phone/account numbers), then 16+-char hex blobs (tokens/keys) —
+    """Curation-time PII scrubbing: emails, then 16+-char hex blobs
+    (tokens/keys), then long digit runs (phone/account numbers) —
     replaced with typed placeholders. Patterns are plain RE2-compatible
-    classes so Spark (Java regex) and DuckDB (RE2) rewrite
-    identically; order matters (emails contain digits)."""
+    classes so Spark (Java regex) and DuckDB (RE2) rewrite identically;
+    order matters: emails contain digits, and because digits are a subset
+    of hex, a pure 16+-digit run (e.g. a 16-digit account number)
+    classifies as <HEX>, not <NUM>."""
     out = F.regexp_replace(
         col, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
     out = F.regexp_replace(out, "[0-9a-fA-F]{16,}", "<HEX>")

@@ -1,0 +1,297 @@
+"""Round-4 additions: offset-map broadcast threshold + Spark-side group
+keys, datetime zone-map predicates, predicate-column hygiene, safe
+pairwise ANN default, Lloyd-refined IVF centroids, PIL decode branch,
+Iceberg seam composition."""
+
+from __future__ import annotations
+
+import base64
+import datetime as dt
+from types import SimpleNamespace
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+# --- offset map: broadcast branch + Spark-side key rendering ---------------
+
+def _expected_prefix(df, group, order, value_col):
+    w = (Window.partitionBy(group).orderBy(order)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return df.withColumn("_want", F.coalesce(F.sum(value_col).over(w),
+                                             F.lit(0)))
+
+
+def test_offset_map_broadcast_branch(spark, monkeypatch):
+    """Above _OFFSET_MAP_MAX_ENTRIES the offsets ship as a broadcast-join
+    table, not a create_map plan literal — same results either way."""
+    from supersonic_spark.operators import core
+    rows = [(f"g{i % 7}", i, i % 13) for i in range(600)]
+    df = spark.createDataFrame(rows, "g string, ord int, v int")
+    want = {(r["g"], r["ord"]): r["_want"] for r in
+            _expected_prefix(df, "g", "ord", "v").collect()}
+
+    monkeypatch.setattr(core, "_OFFSET_MAP_MAX_ENTRIES", 0)
+    out = core.with_prefix_sum(df, ["ord"], "v", group_cols=["g"],
+                               n_partitions=4)
+    got = {(r["g"], r["ord"]): r["_prefix_sum"] for r in out.collect()}
+    assert got == want
+
+    rid = core.with_rowid(df, ["g", "ord"], n_partitions=4)
+    ids = [r["_rowid"] for r in rid.orderBy("g", "ord").collect()]
+    assert ids == list(range(600))
+
+
+def test_prefix_sum_double_group_key(spark):
+    """Double-typed group columns: Spark renders 1.0E7, Python str gives
+    10000000.0 — keys are now computed Spark-side on both legs, so large
+    doubles group correctly instead of yielding NULL prefix sums."""
+    from supersonic_spark.operators.core import with_prefix_sum
+    rows = [(1.0e7, i, 2) for i in range(50)] + \
+           [(2.5e-8, i, 3) for i in range(50)]
+    df = spark.createDataFrame(rows, "g double, ord int, v int")
+    out = with_prefix_sum(df, ["ord"], "v", group_cols=["g"],
+                          n_partitions=3).collect()
+    assert all(r["_prefix_sum"] is not None for r in out)
+    got = {(r["g"], r["ord"]): r["_prefix_sum"] for r in out}
+    for i in range(50):
+        assert got[(1.0e7, i)] == 2 * i
+        assert got[(2.5e-8, i)] == 3 * i
+
+
+# --- decode_table predicates ------------------------------------------------
+
+def test_decode_table_datetime_predicate(spark, tmp_path):
+    """Timestamp bounds prune via the ns-normalized zone maps; before the
+    fix a raw timestamp literal compared in epoch seconds and silently
+    pruned EVERY chunk (missing rows, no error)."""
+    from supersonic_spark.datagen import generate_transcripts
+    from supersonic_spark.pipeline import (EncodeConfig, decode_table,
+                                           encode_table)
+    df = generate_transcripts(spark, n_convs=40, seed=11)
+    out = str(tmp_path / "enc_ts")
+    encode_table(spark, df, out, EncodeConfig(n_partitions=3, chunk_rows=128),
+                 fingerprint="tspred")
+    lo_hi = df.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    span = lo_hi["hi"] - lo_hi["lo"]
+    lo = lo_hi["lo"] + span / 4
+    hi = lo_hi["lo"] + span / 2
+    dec = decode_table(spark, out, columns=["conv_id", "turn_idx", "ts"],
+                       predicate=("ts", lo, hi))
+    want = sorted((r["conv_id"], r["turn_idx"]) for r in
+                  df.filter(F.col("ts").between(lo, hi))
+                  .select("conv_id", "turn_idx").collect())
+    got = sorted((r["conv_id"], r["turn_idx"]) for r in dec.collect())
+    assert got == want and len(got) > 0
+
+
+def test_decode_table_predicate_type_validation(spark, tmp_path):
+    from supersonic_spark.pipeline import _normalize_predicates
+    with pytest.raises(TypeError):
+        _normalize_predicates(("turn_idx", [1, 2], 5))
+    with pytest.raises(TypeError):
+        _normalize_predicates([("conv_id", "a", 5)])   # mixed str/int
+    # datetime/date bounds are legal
+    preds = _normalize_predicates(("ts", dt.datetime(1995, 1, 1),
+                                   dt.datetime(1996, 1, 1)))
+    assert len(preds) == 1
+
+
+def test_bound_ns_widen_directions():
+    from supersonic_spark.pipeline import _bound_ns
+    d = dt.date(1970, 1, 2)
+    assert _bound_ns(d, -1) == 0                       # one day outward
+    assert _bound_ns(d, +1) == 3 * 86_400 * 10 ** 9    # end of day + 1 day
+    t = dt.datetime(1970, 1, 1, 0, 0, 10, 500_000)
+    ns = 10 * 10 ** 9 + 500_000 * 10 ** 3
+    assert _bound_ns(t, -1) <= ns - 10 ** 9 + 1
+    assert _bound_ns(t, +1) >= ns + 10 ** 9 - 1
+    assert _bound_ns(42, -1) == 42 and _bound_ns("x", 1) == "x"
+
+
+def test_decode_table_predicate_column_not_leaked(spark, tmp_path):
+    """columns= plus a predicate on an unrequested column must not leak
+    that column into the output schema."""
+    from supersonic_spark.pipeline import (EncodeConfig, decode_table,
+                                           encode_table)
+    rows = [(f"c{i:03d}", j, f"txt {i} {j}")
+            for i in range(10) for j in range(20)]
+    df = spark.createDataFrame(rows,
+                               "conv_id string, turn_idx int, text string")
+    out = str(tmp_path / "enc_leak")
+    encode_table(spark, df, out, EncodeConfig(n_partitions=2, chunk_rows=64),
+                 fingerprint="leak")
+    dec = decode_table(spark, out, columns=["text"],
+                       predicate=("turn_idx", 3, 7))
+    assert dec.columns == ["text"]
+    assert dec.count() == 10 * 5
+
+
+def test_bloom_point_lookup_prunes_beyond_zone_maps(spark, tmp_path):
+    """Time-sorted encode means user_id min/max spans every chunk (zone
+    maps prune nothing); the per-chunk bloom must prune chunks AND keep
+    the result exact."""
+    from supersonic_spark.pipeline import (EncodeConfig, _pruned_chunks,
+                                           decode_table, encode_table)
+    rows = [(i, i * 1000, i % 97, f"e{i % 5}") for i in range(4000)]
+    df = spark.createDataFrame(
+        rows, "event_id long, t long, user_id long, etype string")
+    out = str(tmp_path / "enc_bloom")
+    cfg = EncodeConfig(n_partitions=3, chunk_rows=128, conv_key="user_id",
+                       order_key="event_id", sort_keys=("t", "event_id"),
+                       bloom_cols=("user_id",))
+    encode_table(spark, df, out, cfg, fingerprint="bloom")
+    target = 7
+    dec = decode_table(spark, out, columns=["event_id", "user_id"],
+                       predicate=("user_id", target, target))
+    got = sorted(r["event_id"] for r in dec.collect())
+    want = sorted(r["event_id"] for r in
+                  df.filter(F.col("user_id") == target).collect())
+    assert got == want and len(got) > 0
+    # bloom pruning strictly beats the (useless here) zone-range pruning
+    keep = _pruned_chunks(spark, out, [("user_id", target, target)])
+    kept = sum(len(s) for s in keep.values())
+    total = (spark.read.parquet(out + "/manifest")
+             .filter(F.col("column") == "user_id")
+             .select("partition_id", "chunk_id").distinct().count())
+    assert kept < total, f"bloom pruned nothing ({kept}/{total})"
+
+
+def test_bloom_roundtrip_membership():
+    from supersonic_spark.pipeline import _bloom_build, _bloom_member
+    import base64
+    import pyarrow as pa
+    col = pa.chunked_array([pa.array([1, 5, 7, 900000, None], pa.int64())])
+    blob = base64.b64decode(_bloom_build(col, 1024, 5))
+    for v in (1, 5, 7, 900000):
+        assert _bloom_member(v, blob)
+    missing = sum(_bloom_member(v, blob) for v in range(1000, 1200))
+    assert missing <= 4          # ~0 false positives at this load factor
+    # float columns get no bloom (repr not canonical)
+    fcol = pa.chunked_array([pa.array([1.5, 2.5])])
+    assert _bloom_build(fcol, 1024, 5) is None
+
+
+# --- ANN: safe pairwise default + Lloyd refinement --------------------------
+
+def test_pairwise_requires_block(spark):
+    from supersonic_spark.ann import pairwise_cosine_pairs
+    rows = [(i, [float(i), 1.0], i % 2) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, "
+                                     "blk int")
+    with pytest.raises(ValueError, match="cross join"):
+        pairwise_cosine_pairs(df, 0.9)
+    blocked = pairwise_cosine_pairs(df, 0.0, block_col="blk")
+    allowed = pairwise_cosine_pairs(df, 0.0, allow_cross_join=True)
+    # blocked pairs are a subset of the all-pairs sweep
+    b = {(r["id_a"], r["id_b"]) for r in blocked.collect()}
+    a = {(r["id_a"], r["id_b"]) for r in allowed.collect()}
+    assert b <= a and len(a) == 8 * 7 // 2
+
+
+def test_lloyd_refinement_improves_centroids(spark):
+    """2 Lloyd iterations must not worsen — and on separated clusters
+    strictly reduce — mean within-cell distance vs the hash seeds."""
+    import numpy as np
+    from supersonic_spark.ann import ivf_assign_arrow, train_centroids
+    rng = np.random.RandomState(7)
+    centers = np.array([[0.0, 0.0, 0.0], [10.0, 0.0, 0.0],
+                        [0.0, 10.0, 0.0], [0.0, 0.0, 10.0]])
+    pts = np.concatenate([c + rng.normal(0, 0.5, size=(60, 3))
+                          for c in centers])
+    rows = [(i, [float(x) for x in p]) for i, p in enumerate(pts)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def mean_dist(cents):
+        c = np.asarray(cents)
+        a = ivf_assign_arrow(df, cents).collect()
+        d = [float(np.linalg.norm(np.asarray(r["embedding"], dtype=float)
+                                  - c[r["ivf_cell"]])) for r in a]
+        return sum(d) / len(d)
+
+    seeds = train_centroids(df, k=4, lloyd_iters=0)
+    refined = train_centroids(df, k=4, lloyd_iters=2)
+    assert mean_dist(refined) < mean_dist(seeds)
+    # determinism: same input -> identical centroids
+    assert refined == train_centroids(df, k=4, lloyd_iters=2)
+
+
+# --- multimodal: PIL branch --------------------------------------------------
+
+# 1x1 PNG (valid, public-domain trivial bytes)
+_PNG_1PX = base64.b64decode(
+    "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8"
+    "z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg==")
+
+
+def test_decode_image_stub_contract():
+    from supersonic_spark.multimodal import decode_image_stub
+    w, h, m = decode_image_stub(_PNG_1PX)
+    assert isinstance(w, int) and isinstance(h, int) and isinstance(m, float)
+    assert (w, h, m) == decode_image_stub(_PNG_1PX)   # deterministic
+    with pytest.raises(ValueError):
+        decode_image_stub(b"")
+
+
+def test_decode_image_pil_branch():
+    """Exercises the REAL decode branch when PIL is installed; skipped in
+    containers without media libs. Both branches share the
+    (width, height, mean) contract shape."""
+    from supersonic_spark import multimodal
+    if multimodal._PIL_Image is None:
+        pytest.skip("PIL not installed in this container")
+    w, h, m = multimodal.decode_image_pil(_PNG_1PX)
+    assert (w, h) == (1, 1) and isinstance(m, float)
+    assert multimodal.decode_image(_PNG_1PX) == (w, h, m)
+
+
+def test_extract_media_meta_accepts_real_png(spark):
+    """The Spark-side plumbing is identical for stub and PIL decoders —
+    run the mapInArrow kernel over real PNG bytes with whichever decoder
+    the environment dispatches to."""
+    from supersonic_spark.multimodal import decode_image, extract_media_meta
+    df = spark.createDataFrame([(1, bytearray(_PNG_1PX)), (2, None)],
+                               "id long, payload binary")
+    out = extract_media_meta(df, "id", "payload", decoder=decode_image)
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["n_bytes"] == len(_PNG_1PX)
+    assert rows[1]["width"] is not None
+    assert rows[2]["width"] is None
+
+
+# --- Iceberg seam (fake catalog) --------------------------------------------
+
+def test_iceberg_seam_table_identifier_branch(monkeypatch):
+    """With a (faked) Iceberg catalog present, non-path refs compose
+    spark.read.table / df.writeTo — verified without real jars."""
+    from supersonic_spark.sources import table_io
+    monkeypatch.setattr(table_io, "_iceberg_available", lambda s: True)
+    calls = {}
+
+    def fake_read_table(ref):
+        calls["read"] = ref
+        return "DF"
+
+    fake_spark = SimpleNamespace(read=SimpleNamespace(table=fake_read_table))
+    assert table_io.load_table(fake_spark, "cat.db.transcripts") == "DF"
+    assert calls["read"] == "cat.db.transcripts"
+
+    class FakeWriteTo:
+        def createOrReplace(self):
+            calls["write"] = True
+
+    def fake_write_to(ref):
+        calls["wref"] = ref
+        return FakeWriteTo()
+
+    fake_df = SimpleNamespace(writeTo=fake_write_to, sparkSession=fake_spark)
+    table_io.write_table(fake_df, "cat.db.out")
+    assert calls["wref"] == "cat.db.out" and calls["write"] is True
+
+
+def test_iceberg_seam_no_catalog_raises(monkeypatch):
+    from supersonic_spark.sources import table_io
+    monkeypatch.setattr(table_io, "_iceberg_available", lambda s: False)
+    with pytest.raises(ValueError):
+        table_io.load_table(SimpleNamespace(), "cat.db.transcripts")
