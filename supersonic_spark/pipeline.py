@@ -269,6 +269,125 @@ def _prefetched(batches: Iterator[pa.RecordBatch],
         stop.set()
 
 
+def _encode_partition_stream(pid: int, batches: Iterator[pa.RecordBatch],
+                             out_dir: str, cfg_hash: str,
+                             overrides: dict[str, str], chunk_rows: int,
+                             entropy: str | None,
+                             sort_keys: tuple[str, ...] | None,
+                             bloom_cols: tuple[str, ...] = (),
+                             bloom_bits: int = 16384,
+                             bloom_hashes: int = 5) -> list[dict]:
+    """Encode one partition's batch stream into one block file + resume
+    marker; returns the manifest rows. Shared by the shuffle path
+    (_encoder: pid = Spark partition) and the pre-bucketed path
+    (encode_table_prebucketed: pid = bucket-file index)."""
+    ckpt_dir = os.path.join(out_dir, "checkpoints")
+    blk_dir = os.path.join(out_dir, "blocks")
+    marker = os.path.join(ckpt_dir, f"part-{pid:05d}.{cfg_hash}.json")
+
+    if os.path.exists(marker):
+        with open(marker) as f:
+            rows = json.load(f)
+        for r in rows:
+            r["resumed"] = True
+        return rows
+
+    os.makedirs(ckpt_dir, exist_ok=True)
+    os.makedirs(blk_dir, exist_ok=True)
+    blk_path = os.path.join(blk_dir, f"part-{pid:05d}.ssb")
+    tmp_path = blk_path + f".tmp.{cfg_hash}"
+
+    manifest_rows: list[dict] = []
+    pending: list[pa.RecordBatch] = []
+    pending_rows = 0
+    chunk_id = 0
+
+    # sticky per-column codec choice: the first chunk's selection is
+    # reused for later chunks of the same partition (sorted data is
+    # homogeneous) EXCEPT data-dependent codecs (constant, fixedpoint)
+    # which must re-validate per chunk
+    sticky: dict[str, str] = {}
+    _DATA_DEPENDENT = {"constant", "fixedpoint"}
+
+    with open(tmp_path, "wb") as out:
+        def flush(tbl: pa.Table):
+            nonlocal chunk_id
+            for off in range(0, tbl.num_rows, chunk_rows):
+                chunk = tbl.slice(off, chunk_rows)
+                if chunk.num_rows == 0:
+                    continue
+                t0 = time.perf_counter()
+                eff_overrides = dict(overrides)
+                for name, codec in sticky.items():
+                    if name not in eff_overrides:
+                        eff_overrides[name] = codec
+                codecs = choose_codecs(chunk, eff_overrides, entropy=entropy)
+                for name, codec in codecs.items():
+                    if codec not in _DATA_DEPENDENT:
+                        sticky[name] = codec
+                buf = encode_block(chunk, codecs, entropy=entropy)
+                dt = time.perf_counter() - t0
+                out.write(buf)
+                # actual per-frame codec incl. "+zstd" suffix where the
+                # outer stage was kept (it self-disables per frame)
+                applied = block_codec_report(buf)
+                per_col_out = _per_column_sizes(buf, chunk.schema.names)
+                for name in chunk.schema.names:
+                    col = chunk.column(name).combine_chunks()
+                    zmin, zmax, zmin_s, zmax_s = _zone_stats(col)
+                    manifest_rows.append({
+                        "partition_id": pid, "chunk_id": chunk_id,
+                        "column": name, "codec": applied[name],
+                        "n_rows": chunk.num_rows,
+                        "bytes_in": int(reference_column_size(col)),
+                        "bytes_out": per_col_out[name],
+                        "encode_sec": dt / len(chunk.schema.names),
+                        "crc32": zlib.crc32(buf) & 0xFFFFFFFF,
+                        "resumed": False,
+                        "vmin_num": zmin, "vmax_num": zmax,
+                        "vmin_str": zmin_s, "vmax_str": zmax_s,
+                        # base64 string: JSON-safe in resume markers
+                        "bloom_b64": (_bloom_build(col, bloom_bits,
+                                                   bloom_hashes)
+                                      if name in bloom_cols else None),
+                    })
+                chunk_id += 1
+
+        if sort_keys:
+            # buffer the whole partition, one C++ sort, then chunk —
+            # replaces the JVM sortWithinPartitions
+            buffered = list(batches)
+            if buffered:
+                tbl = pa.Table.from_batches(buffered)
+                del buffered
+                tbl = tbl.sort_by([(k, "ascending") for k in sort_keys])
+                flush(tbl)
+        else:
+            for batch in batches:
+                pending.append(batch)
+                pending_rows += batch.num_rows
+                if pending_rows >= chunk_rows:
+                    tbl = pa.Table.from_batches(pending)
+                    full = (tbl.num_rows // chunk_rows) * chunk_rows
+                    flush(tbl.slice(0, full))
+                    rest = tbl.slice(full)
+                    pending = rest.to_batches() if rest.num_rows else []
+                    pending_rows = rest.num_rows
+            if pending_rows:
+                flush(pa.Table.from_batches(pending))
+
+    if chunk_id == 0:
+        os.remove(tmp_path)  # skip empty partitions (reference rejects
+        # 0-row chunks: file_io.cc:398-403)
+    else:
+        os.replace(tmp_path, blk_path)
+    mtmp = marker + ".tmp"
+    with open(mtmp, "w") as f:
+        json.dump(manifest_rows, f)
+    os.replace(mtmp, marker)
+    return manifest_rows
+
+
 def _encoder(out_dir: str, cfg_hash: str, overrides: dict[str, str],
              chunk_rows: int, entropy: str | None = None,
              sort_keys: tuple[str, ...] | None = None,
@@ -283,112 +402,9 @@ def _encoder(out_dir: str, cfg_hash: str, overrides: dict[str, str],
         batches = _prefetched(batches, prefetch)
         from pyspark import TaskContext
         pid = TaskContext.get().partitionId()
-        ckpt_dir = os.path.join(out_dir, "checkpoints")
-        blk_dir = os.path.join(out_dir, "blocks")
-        marker = os.path.join(ckpt_dir, f"part-{pid:05d}.{cfg_hash}.json")
-
-        if os.path.exists(marker):
-            with open(marker) as f:
-                rows = json.load(f)
-            for r in rows:
-                r["resumed"] = True
-            yield _manifest_batch(rows)
-            return
-
-        os.makedirs(ckpt_dir, exist_ok=True)
-        os.makedirs(blk_dir, exist_ok=True)
-        blk_path = os.path.join(blk_dir, f"part-{pid:05d}.ssb")
-        tmp_path = blk_path + f".tmp.{cfg_hash}"
-
-        manifest_rows: list[dict] = []
-        pending: list[pa.RecordBatch] = []
-        pending_rows = 0
-        chunk_id = 0
-
-        # sticky per-column codec choice: the first chunk's selection is
-        # reused for later chunks of the same partition (sorted data is
-        # homogeneous) EXCEPT data-dependent codecs (constant, fixedpoint)
-        # which must re-validate per chunk
-        sticky: dict[str, str] = {}
-        _DATA_DEPENDENT = {"constant", "fixedpoint"}
-
-        with open(tmp_path, "wb") as out:
-            def flush(tbl: pa.Table):
-                nonlocal chunk_id
-                for off in range(0, tbl.num_rows, chunk_rows):
-                    chunk = tbl.slice(off, chunk_rows)
-                    if chunk.num_rows == 0:
-                        continue
-                    t0 = time.perf_counter()
-                    eff_overrides = dict(overrides)
-                    for name, codec in sticky.items():
-                        if name not in eff_overrides:
-                            eff_overrides[name] = codec
-                    codecs = choose_codecs(chunk, eff_overrides, entropy=entropy)
-                    for name, codec in codecs.items():
-                        if codec not in _DATA_DEPENDENT:
-                            sticky[name] = codec
-                    buf = encode_block(chunk, codecs, entropy=entropy)
-                    dt = time.perf_counter() - t0
-                    out.write(buf)
-                    # actual per-frame codec incl. "+zstd" suffix where the
-                    # outer stage was kept (it self-disables per frame)
-                    applied = block_codec_report(buf)
-                    per_col_out = _per_column_sizes(buf, chunk.schema.names)
-                    for name in chunk.schema.names:
-                        col = chunk.column(name).combine_chunks()
-                        zmin, zmax, zmin_s, zmax_s = _zone_stats(col)
-                        manifest_rows.append({
-                            "partition_id": pid, "chunk_id": chunk_id,
-                            "column": name, "codec": applied[name],
-                            "n_rows": chunk.num_rows,
-                            "bytes_in": int(reference_column_size(col)),
-                            "bytes_out": per_col_out[name],
-                            "encode_sec": dt / len(chunk.schema.names),
-                            "crc32": zlib.crc32(buf) & 0xFFFFFFFF,
-                            "resumed": False,
-                            "vmin_num": zmin, "vmax_num": zmax,
-                            "vmin_str": zmin_s, "vmax_str": zmax_s,
-                            # base64 string: JSON-safe in resume markers
-                            "bloom_b64": (_bloom_build(col, bloom_bits,
-                                                       bloom_hashes)
-                                          if name in bloom_cols else None),
-                        })
-                    chunk_id += 1
-
-            if sort_keys:
-                # buffer the whole partition, one C++ sort, then chunk —
-                # replaces the JVM sortWithinPartitions
-                buffered = list(batches)
-                if buffered:
-                    tbl = pa.Table.from_batches(buffered)
-                    del buffered
-                    tbl = tbl.sort_by([(k, "ascending") for k in sort_keys])
-                    flush(tbl)
-            else:
-                for batch in batches:
-                    pending.append(batch)
-                    pending_rows += batch.num_rows
-                    if pending_rows >= chunk_rows:
-                        tbl = pa.Table.from_batches(pending)
-                        full = (tbl.num_rows // chunk_rows) * chunk_rows
-                        flush(tbl.slice(0, full))
-                        rest = tbl.slice(full)
-                        pending = rest.to_batches() if rest.num_rows else []
-                        pending_rows = rest.num_rows
-                if pending_rows:
-                    flush(pa.Table.from_batches(pending))
-
-        if chunk_id == 0:
-            os.remove(tmp_path)  # skip empty partitions (reference rejects
-            # 0-row chunks: file_io.cc:398-403)
-        else:
-            os.replace(tmp_path, blk_path)
-        mtmp = marker + ".tmp"
-        with open(mtmp, "w") as f:
-            json.dump(manifest_rows, f)
-        os.replace(mtmp, marker)
-        yield _manifest_batch(manifest_rows)
+        yield _manifest_batch(_encode_partition_stream(
+            pid, batches, out_dir, cfg_hash, overrides, chunk_rows,
+            entropy, sort_keys, bloom_cols, bloom_bits, bloom_hashes))
 
     return run
 
@@ -516,6 +532,115 @@ def encode_table(spark: SparkSession, df: DataFrame, out_dir: str,
                  bloom_cols=cfg.bloom_cols, bloom_bits=cfg.bloom_bits,
                  bloom_hashes=cfg.bloom_hashes),
         schema=MANIFEST_SCHEMA)
+    manifest.write.mode("overwrite").parquet(os.path.join(out_dir, "manifest"))
+    return spark.read.parquet(os.path.join(out_dir, "manifest"))
+
+
+def bucketize_table(spark: SparkSession, df: DataFrame, dest_dir: str,
+                    n_buckets: int, conv_key: str = "conv_id") -> str:
+    """One-time clustering write: hash-partition by conv_key into exactly
+    n_buckets parquet files — plain-parquet emulation of an Iceberg
+    bucket(conv_key) partition transform, the standard physical layout
+    for conversation tables. Every conversation lands wholly inside one
+    bucket file, which is the invariant encode_table_prebucketed needs.
+    The write costs one shuffle, amortized over every subsequent
+    shuffle-free encode and bucket-pruned read. Size n_buckets to >= 4x
+    the executor-core count so mega-conversation skew evens out across
+    tasks."""
+    (df.repartition(n_buckets, F.col(conv_key))
+       .write.mode("overwrite").parquet(dest_dir))
+    return dest_dir
+
+
+def _normalize_arrow_units(tbl: pa.Table) -> pa.Table:
+    """Cast non-µs timestamp columns (e.g. ns from INT96 parquet) to µs —
+    the unit Spark's Arrow transfer uses — so blocks encoded from a direct
+    pyarrow read are byte-compatible with the shuffle path's."""
+    fields, changed = [], False
+    for f in tbl.schema:
+        if pa.types.is_timestamp(f.type) and f.type.unit != "us":
+            fields.append(pa.field(f.name, pa.timestamp("us", f.type.tz)))
+            changed = True
+        else:
+            fields.append(f)
+    return tbl.cast(pa.schema(fields)) if changed else tbl
+
+
+def encode_table_prebucketed(spark: SparkSession, input_dir: str,
+                             out_dir: str, cfg: EncodeConfig | None = None,
+                             fingerprint: str = "") -> DataFrame:
+    """Shuffle-free encode over a PRE-BUCKETED parquet layout: one task
+    per bucket file; the kernel reads its file in-process with pyarrow,
+    sorts by sort_keys (Arrow C++ sort_indices), and encodes — no JVM
+    scan, no repartition exchange, no JVM->Python row transfer at all.
+
+    Rationale: stage profiling (BENCH/BASELINE.md rounds 2-4) shows the
+    shuffle-path job's only non-scaling costs are the JVM shuffle/sort
+    (~0.74) and a flat Arrow IPC stage; the codec kernel itself scales at
+    the hardware ceiling. When the input table is already clustered by
+    conversation — an Iceberg bucket(conv_id) transform, produced once by
+    bucketize_table — the shuffle is redundant, and this path's scaling
+    equals the kernel-only ceiling. At 10^12-turn scale the bucketed
+    layout is also what makes incremental encodes and conversation
+    point-reads cheap, so it is the layout a production transcript table
+    would already have. Checkpoint/resume semantics are per bucket file
+    (same markers as the shuffle path); blocks, manifest, zone maps and
+    blooms are byte-compatible with decode_table."""
+    cfg = cfg or EncodeConfig()
+    paths = sorted(os.path.join(input_dir, p) for p in os.listdir(input_dir)
+                   if p.endswith(".parquet"))
+    if not paths:
+        raise ValueError(f"no .parquet bucket files under {input_dir}")
+    schema = spark.read.parquet(input_dir).schema
+    missing = [c for c in (cfg.conv_key, *cfg.sort_keys)
+               if c not in schema.names]
+    if missing:
+        raise ValueError(f"encode keys {missing} not in input columns "
+                         f"{schema.names}")
+    os.makedirs(out_dir, exist_ok=True)
+    cfg_hash = cfg.config_hash(fingerprint)
+    meta = {
+        "spark_schema": schema.jsonValue(),
+        "config_hash": cfg_hash,
+        "fingerprint": fingerprint,
+        "n_partitions": len(paths),
+        "chunk_rows": cfg.chunk_rows,
+        "sort_keys": list(cfg.sort_keys),
+        "prebucketed": True,
+    }
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+
+    idx = {p: i for i, p in enumerate(paths)}
+    overrides, chunk_rows = cfg.codec_overrides, cfg.chunk_rows
+    entropy, sort_keys = cfg.entropy, cfg.sort_keys
+    bloom_cols, bloom_bits = cfg.bloom_cols, cfg.bloom_bits
+    bloom_hashes = cfg.bloom_hashes
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from .runtime import pin_worker_threads
+        pin_worker_threads()
+        import pyarrow.parquet as pq
+        for batch in batches:
+            for path in batch.column(0).to_pylist():
+                # Spark writes INT96 timestamps that pyarrow reads as ns;
+                # normalize to the µs unit Spark's own Arrow bridge uses so
+                # decoded blocks round-trip through mapInArrow unchanged
+                tbl = _normalize_arrow_units(pq.read_table(path))
+                rows = _encode_partition_stream(
+                    idx[path], iter(tbl.to_batches()), out_dir, cfg_hash,
+                    overrides, chunk_rows, entropy, sort_keys,
+                    bloom_cols, bloom_bits, bloom_hashes)
+                yield _manifest_batch(rows)
+
+    # exactly ONE file per task: parallelize slices the path list
+    # deterministically (hash-repartition would put 2-3 files on some
+    # tasks and none on others — a straggler tail for free)
+    pdf = spark.createDataFrame(
+        spark.sparkContext.parallelize([(p,) for p in paths],
+                                       numSlices=len(paths)),
+        schema="path string")
+    manifest = pdf.mapInArrow(run, schema=MANIFEST_SCHEMA)
     manifest.write.mode("overwrite").parquet(os.path.join(out_dir, "manifest"))
     return spark.read.parquet(os.path.join(out_dir, "manifest"))
 

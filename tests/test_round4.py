@@ -173,6 +173,40 @@ def test_bloom_roundtrip_membership():
     assert _bloom_build(fcol, 1024, 5) is None
 
 
+def test_prebucketed_encode_roundtrip_and_resume(spark, tmp_path):
+    """Shuffle-free encode over a bucketize_table layout: bit-identical
+    round-trip vs the source, and a second run resumes from the per-file
+    checkpoint markers instead of re-encoding."""
+    from supersonic_spark.datagen import generate_transcripts
+    from supersonic_spark.pipeline import (EncodeConfig, bucketize_table,
+                                           decode_table,
+                                           encode_table_prebucketed)
+    df = generate_transcripts(spark, n_convs=120, seed=5)
+    bdir = str(tmp_path / "buckets")
+    bucketize_table(spark, df, bdir, n_buckets=6)
+    out = str(tmp_path / "enc_pb")
+    cfg = EncodeConfig(chunk_rows=512, bloom_cols=("role",))
+    man = encode_table_prebucketed(spark, bdir, out, cfg, fingerprint="pb")
+    assert man.filter(F.col("resumed")).count() == 0
+    dec = decode_table(spark, out)
+    a = df.orderBy("conv_id", "turn_idx").collect()
+    b = dec.orderBy("conv_id", "turn_idx").collect()
+    assert len(a) == len(b) and all(x == y for x, y in zip(a, b))
+    # conversations never span block files (the bucketing invariant the
+    # shuffle-free path relies on)
+    per_conv = (man.sparkSession.read.parquet(out + "/manifest")
+                .select("partition_id").distinct().count())
+    assert per_conv <= 6
+    # resume: identical config + fingerprint -> every row marked resumed
+    man2 = encode_table_prebucketed(spark, bdir, out, cfg, fingerprint="pb")
+    assert man2.filter(~F.col("resumed")).count() == 0
+    # bloom + projection still work on the prebucketed output
+    tools = decode_table(spark, out, columns=["conv_id", "turn_idx"],
+                         predicate=("role", "tool", "tool"))
+    n_tool = df.filter(F.col("role") == "tool").count()
+    assert tools.count() == n_tool
+
+
 # --- ANN: safe pairwise default + Lloyd refinement --------------------------
 
 def test_pairwise_requires_block(spark):

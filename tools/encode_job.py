@@ -35,6 +35,11 @@ def main():
     ap.add_argument("--no-prefetch", action="store_true",
                     help="disable the IPC/compute prefetch overlap in the "
                          "encode kernel (A/B baseline)")
+    ap.add_argument("--prebucketed", action="store_true",
+                    help="input dir is a bucketize_table() layout (one "
+                         "bucket file per hash(conv_id) slice): encode "
+                         "shuffle-free, one task per file, parquet read + "
+                         "C++ sort + codecs all inside the Python kernel")
     ap.add_argument("--verify", action="store_true",
                     help="decode + full bit-identity check after encode")
     ap.add_argument("--warmup", action="store_true",
@@ -54,6 +59,7 @@ def main():
 
     from supersonic_spark.pipeline import (EncodeConfig, decode_table,
                                            encode_table,
+                                           encode_table_prebucketed,
                                            roundtrip_mismatch_count)
 
     df = spark.read.parquet(args.input)
@@ -68,14 +74,20 @@ def main():
                        sort_in_kernel=args.sort_in_kernel,
                        fixed_width_shuffle_key=not args.string_sort_key,
                        prefetch_batches=0 if args.no_prefetch else 2)
+    def encode(dest, fp):
+        if args.prebucketed:
+            return encode_table_prebucketed(spark, args.input, dest, cfg,
+                                            fingerprint=fp)
+        return encode_table(spark, df, dest, cfg, fingerprint=fp)
+
     if args.warmup:
         import shutil
         import tempfile
         wdir = tempfile.mkdtemp(prefix="ssenc_warm_")
-        encode_table(spark, df, wdir, cfg, fingerprint="warmup")
+        encode(wdir, "warmup")
         shutil.rmtree(wdir, ignore_errors=True)
     t0 = time.perf_counter()
-    man = encode_table(spark, df, args.out, cfg, fingerprint=args.fingerprint)
+    man = encode(args.out, args.fingerprint)
     tot = man.agg(F.sum("bytes_in").alias("bi"),
                   F.sum("bytes_out").alias("bo")).collect()[0]
     wall = time.perf_counter() - t0

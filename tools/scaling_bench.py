@@ -36,9 +36,13 @@ def build_zip(dest: str) -> str:
     return zpath
 
 
-def generate_input(n_convs: int, dest: str) -> str:
-    """Deterministic transcripts parquet, cached across invocations."""
-    out = os.path.join(dest, f"transcripts_c{n_convs}")
+def generate_input(n_convs: int, dest: str, bucketed: bool = False) -> str:
+    """Deterministic transcripts parquet, cached across invocations.
+    bucketed=True emulates the Iceberg bucket(conv_id) layout via
+    bucketize_table (64 whole-conversation bucket files, identical for
+    every parallelism level so N-vs-4N compares the same input)."""
+    suffix = "_b64" if bucketed else ""
+    out = os.path.join(dest, f"transcripts_c{n_convs}{suffix}")
     if os.path.exists(os.path.join(out, "_SUCCESS")):
         return out
     sys.path.insert(0, REPO)
@@ -46,13 +50,18 @@ def generate_input(n_convs: int, dest: str) -> str:
     from supersonic_spark.datagen import generate_transcripts
     spark = get_spark(cores=os.cpu_count())
     spark.sparkContext.setLogLevel("ERROR")
-    generate_transcripts(spark, n_convs=n_convs, seed=42) \
-        .write.mode("overwrite").parquet(out)
+    df = generate_transcripts(spark, n_convs=n_convs, seed=42)
+    if bucketed:
+        from supersonic_spark.pipeline import bucketize_table
+        bucketize_table(spark, df, out, n_buckets=64)
+    else:
+        df.write.mode("overwrite").parquet(out)
     spark.stop()
     return out
 
 
-def run_once(zpath: str, input_dir: str, cores: int, run_id: int) -> dict:
+def run_once(zpath: str, input_dir: str, cores: int, run_id: int,
+             prebucketed: bool = False) -> dict:
     """One spark-submit encode run confined to exactly `cores` CPUs.
 
     taskset pinning is what makes single-box cluster-size emulation honest:
@@ -74,6 +83,8 @@ def run_once(zpath: str, input_dir: str, cores: int, run_id: int) -> dict:
         "--n-partitions", str(2 * cores),
         "--warmup",
     ]
+    if prebucketed:
+        cmd.append("--prebucketed")
     proc = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
     shutil.rmtree(out, ignore_errors=True)
     for line in proc.stdout.splitlines():
@@ -105,6 +116,10 @@ def main():
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--prebucketed", action="store_true",
+                    help="encode the bucketize_table() layout shuffle-free "
+                         "(one task per bucket file; no JVM scan/shuffle/"
+                         "row IPC)")
     ap.add_argument("--workdir", default="/tmp/ss_scaling")
     ap.add_argument("--out", default=None,
                     help="output json (default BENCH/scaling.json; pass "
@@ -114,13 +129,15 @@ def main():
 
     os.makedirs(args.workdir, exist_ok=True)
     zpath = build_zip(args.workdir)
-    input_dir = generate_input(args.n_convs, args.workdir)
+    input_dir = generate_input(args.n_convs, args.workdir,
+                               bucketed=args.prebucketed)
 
     results = {args.low: [], args.high: []}
     for run_id in range(args.runs):
         for cores in (args.low, args.high):
             ext = external_busy_cores()
-            r = run_once(zpath, input_dir, cores, run_id)
+            r = run_once(zpath, input_dir, cores, run_id,
+                         prebucketed=args.prebucketed)
             r["ext_busy_cores_before"] = ext
             results[cores].append(r)
             print(f"run {run_id} cores={cores}: {r['encode_sec']}s "
@@ -137,6 +154,7 @@ def main():
         round((hi["turns_per_sec"] / lo["turns_per_sec"]) / ratio, 3)
         for lo, hi in zip(results[args.low], results[args.high])]
     summary = {
+        "mode": "prebucketed" if args.prebucketed else "shuffle",
         "n_turns": results[args.low][0]["n_turns"],
         "cores_low": args.low, "cores_high": args.high,
         "runs": args.runs,
