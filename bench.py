@@ -117,6 +117,30 @@ def main():
     }
     query_secs["encode_transcripts"] = encode_stats["encode_sec"]
 
+    # --- shuffle-free encode over the bucketed layout (the Iceberg
+    # bucket(conv_id) physical layout the north-rule table would carry;
+    # see BENCH/BASELINE.md round-4) — reported inside encode stats so
+    # the headline total stays comparable across rounds -----------------
+    from supersonic_spark.pipeline import (bucketize_table,
+                                           encode_table_prebucketed)
+    bdir = f"{cache_dir}_b64"
+    if not os.path.exists(os.path.join(bdir, "_SUCCESS")):
+        bucketize_table(spark, src, bdir, n_buckets=64)
+    enc_pb = f"/tmp/ss_bench_encpb_{os.getpid()}"
+    t0 = time.perf_counter()
+    man_pb = encode_table_prebucketed(spark, bdir, enc_pb, EncodeConfig(),
+                                      fingerprint=f"bench-pb-{sf}")
+    tot_pb = man_pb.agg(F.sum("bytes_in").alias("bi"),
+                        F.sum("bytes_out").alias("bo")).collect()[0]
+    pb_sec = time.perf_counter() - t0
+    shutil.rmtree(enc_pb, ignore_errors=True)
+    encode_stats["prebucketed"] = {
+        "encode_sec": round(pb_sec, 3),
+        "turns_per_sec": round(n_turns / pb_sec, 1),
+        "bytes_per_turn": round(tot_pb.bo / max(n_turns, 1), 2),
+        "compression_ratio": round(tot_pb.bo / max(tot_pb.bi, 1), 4),
+    }
+
     total = round(sum(query_secs.values()), 3)
     scaling = None
     scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
