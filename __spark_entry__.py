@@ -1124,6 +1124,26 @@ def q_codec_point_lookup(spark, sf):
     return dec.select("event_id", "user_id", "event_type")
 
 
+def q_codec_in_lookup(spark, sf):
+    """IN-list lookup over encoded blocks: (col, [v...]) membership
+    predicate — zone range over the set's min/max plus a bloom OR over
+    the members, residual IN filter. The 'fetch THESE five users' form
+    of the point-lookup path."""
+    import tempfile
+    from supersonic_spark.pipeline import (EncodeConfig, decode_table,
+                                           encode_table)
+    ev = _t(spark, sf, "events").select("event_id", "ts", "user_id",
+                                        "event_type", "value")
+    out = tempfile.mkdtemp(prefix="ss_inlist_gate_")
+    cfg = EncodeConfig(n_partitions=4, chunk_rows=512, conv_key="user_id",
+                       order_key="event_id", sort_keys=("ts", "event_id"),
+                       bloom_cols=("user_id",))
+    encode_table(spark, ev, out, cfg, fingerprint="inlist-gate")
+    dec = decode_table(spark, out, columns=["event_id", "user_id"],
+                       predicate=("user_id", [3, 7, 11, 400]))
+    return dec.select("event_id", "user_id")
+
+
 def q_codec_selection_report(spark, sf):
     """Lineage view: which codec the auto-selector picks per column of
     the documents table, per partition (rows-only check)."""
@@ -1417,6 +1437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14_promo_revenue": q_tpch_q14_promo_revenue,
         "tpch_q4_priority_check": q_tpch_q4_priority_check,
         "codec_point_lookup": q_codec_point_lookup,
+        "codec_in_lookup": q_codec_in_lookup,
         # --- twice-driver-proven relational set (rounds 1-3) ---
         "scan_project": q_scan_project,
         "compute_expr": q_compute_expr,

@@ -646,24 +646,47 @@ def encode_table_prebucketed(spark: SparkSession, input_dir: str,
 
 
 def _normalize_predicates(predicate) -> list[tuple]:
-    """One (col, lo, hi) tuple or a list of them (ANDed). Bounds must be
-    int/float/str/datetime/date — anything else raises instead of silently
-    mispruning (zone-map comparison against an unexpected literal type
-    could drop chunks the residual filter can never restore)."""
+    """Predicates, ANDed: each is a range (col, lo, hi) or a membership
+    (col, [v1, v2, ...]) — the 2-tuple form prunes like the union of
+    point lookups (zone range over min/max of the set, bloom OR over the
+    members) and filters with IN. Bounds/members must be
+    int/float/str/datetime/date — anything else raises instead of
+    silently mispruning (zone-map comparison against an unexpected
+    literal type could drop chunks the residual filter can never
+    restore)."""
     import datetime as _dt
+
+    def check(pcol, v):
+        if not isinstance(v, (int, float, str, _dt.date, _dt.datetime)):
+            raise TypeError(
+                f"predicate bound for {pcol!r} must be int/float/str/"
+                f"datetime/date, got {type(v).__name__}")
+
     if predicate is None:
         return []
     preds = [predicate] if isinstance(predicate, tuple) else list(predicate)
-    for pcol, lo, hi in preds:
-        for v in (lo, hi):
-            if not isinstance(v, (int, float, str, _dt.date, _dt.datetime)):
-                raise TypeError(
-                    f"predicate bound for {pcol!r} must be int/float/str/"
-                    f"datetime/date, got {type(v).__name__}")
+    out = []
+    for p in preds:
+        if len(p) == 2:
+            pcol, values = p
+            values = sorted(set(values))
+            if not values:
+                raise ValueError(f"empty IN-list for {pcol!r}")
+            for v in values:
+                check(pcol, v)
+            if len({isinstance(v, str) for v in values}) > 1:
+                raise TypeError(f"IN-list for {pcol!r} mixes string and "
+                                f"non-string types")
+            out.append((pcol, values))
+            continue
+        pcol, lo, hi = p
+        check(pcol, lo)
+        check(pcol, hi)
         if isinstance(lo, str) != isinstance(hi, str):
             raise TypeError(f"predicate bounds for {pcol!r} mix string and "
                             f"non-string types")
-    return preds
+        out.append((pcol, lo, hi))
+    return out
 
 
 def _bound_ns(v, widen: int):
@@ -684,11 +707,12 @@ def _bound_ns(v, widen: int):
     return v
 
 
-def _bloom_filter_chunks(man_sel: DataFrame, predicates_value) -> DataFrame:
-    """Keep manifest rows whose chunk bloom may contain the value (NULL
-    bloom = no stats = always kept). Runs as mapInArrow over the manifest
-    so blobs are probed executor-side — at 10^12-turn scale the manifest
-    is itself a big table and the blobs must never be collected."""
+def _bloom_filter_chunks(man_sel: DataFrame, values: list) -> DataFrame:
+    """Keep manifest rows whose chunk bloom may contain ANY of `values`
+    (NULL bloom = no stats = always kept). Runs as mapInArrow over the
+    manifest so blobs are probed executor-side — at 10^12-turn scale the
+    manifest is itself a big table and the blobs must never be
+    collected."""
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import base64
         for batch in batches:
@@ -698,10 +722,12 @@ def _bloom_filter_chunks(man_sel: DataFrame, predicates_value) -> DataFrame:
             blobs = tbl.column("bloom_b64").to_pylist()
             kp, kc = [], []
             for p, c, b in zip(pids, cids, blobs):
-                if b is None or _bloom_member(predicates_value,
-                                              base64.b64decode(b)):
-                    kp.append(p)
-                    kc.append(c)
+                if b is not None:
+                    blob = base64.b64decode(b)
+                    if not any(_bloom_member(v, blob) for v in values):
+                        continue
+                kp.append(p)
+                kc.append(c)
             yield pa.RecordBatch.from_pydict({
                 "partition_id": pa.array(kp, pa.int32()),
                 "chunk_id": pa.array(kc, pa.int32())})
@@ -724,24 +750,35 @@ def _pruned_chunks(spark: SparkSession, out_dir: str,
         return None
     man = spark.read.parquet(mpath)
     keep: dict[int, set] | None = None
-    for pcol, lo, hi in predicates:
+    for pred in predicates:
+        if len(pred) == 2:      # membership: union of point lookups
+            pcol, values = pred
+            lo, hi = values[0], values[-1]          # sorted by normalize
+            bloom_values = [v for v in values
+                            if isinstance(v, (int, str))
+                            and not isinstance(v, bool)]
+            bloomable = len(bloom_values) == len(values)
+        else:
+            pcol, lo, hi = pred
+            bloom_values = [lo]
+            bloomable = (lo == hi and isinstance(lo, (int, str))
+                         and not isinstance(lo, bool))
         is_str = isinstance(lo, str)
         # datetime/date bounds -> the ns-since-epoch unit _zone_stats
         # normalizes timestamp zone maps to, widened outward (a raw
         # timestamp literal would compare in epoch SECONDS and silently
         # prune every chunk)
-        is_eq = (lo == hi and isinstance(lo, (int, str))
-                 and not isinstance(lo, bool))
         lo, hi = _bound_ns(lo, -1), _bound_ns(hi, +1)
         vmin = F.col("vmin_str") if is_str else F.col("vmin_num")
         vmax = F.col("vmax_str") if is_str else F.col("vmax_num")
         keep_cond = (vmin.isNull() | vmax.isNull()
                      | ((vmax >= F.lit(lo)) & (vmin <= F.lit(hi))))
         sel = man.filter(F.col("column") == pcol).filter(keep_cond)
-        if is_eq and "bloom_b64" in man.columns:
-            # point lookup: probe the per-chunk blooms DISTRIBUTED (the
-            # blobs never reach the driver — only surviving ids do)
-            sel = _bloom_filter_chunks(sel, predicates_value=lo)
+        if bloomable and "bloom_b64" in man.columns:
+            # point lookup(s): probe the per-chunk blooms DISTRIBUTED (the
+            # blobs never reach the driver — only surviving ids do); a
+            # chunk survives if ANY member may be present
+            sel = _bloom_filter_chunks(sel, bloom_values)
         rows = sel.select("partition_id", "chunk_id").distinct().collect()
         this: dict[int, set] = {}
         for r in rows:
@@ -763,24 +800,25 @@ def decode_table(spark: SparkSession, out_dir: str,
     columns: project at the BLOCK layer — unneeded column frames are
     skipped by length arithmetic, their payloads never touched (the
     engine-side analogue of parquet column pruning).
-    predicate: one (col, lo, hi) inclusive range, or a list of them
-    (conjunction) — whole chunks whose zone maps can't overlap every
-    range are skipped without decoding (manifest min/max, the
-    row-group-stats analogue), then the exact filters are re-applied to
-    decoded rows so results are precise regardless of stats. Bounds may
-    be numeric, string, or datetime/date (converted to the zone maps'
-    ns-since-epoch unit, widened outward). An equality lookup is the
-    (col, v, v) range; when the table was encoded with that column in
-    EncodeConfig.bloom_cols, per-chunk bloom filters additionally prune
-    chunks whose min/max span the value — the point-lookup path for
-    non-sort columns."""
+    predicate: one (col, lo, hi) inclusive range or (col, [v1, v2, ...])
+    membership, or a list of them (conjunction) — whole chunks whose
+    zone maps can't overlap every predicate are skipped without decoding
+    (manifest min/max, the row-group-stats analogue), then the exact
+    filters (range / IN) are re-applied to decoded rows so results are
+    precise regardless of stats. Bounds may be numeric, string, or
+    datetime/date (converted to the zone maps' ns-since-epoch unit,
+    widened outward). An equality lookup is the (col, v, v) range; when
+    the table was encoded with that column in EncodeConfig.bloom_cols,
+    per-chunk bloom filters additionally prune chunks whose min/max span
+    the value(s) — the point/IN-lookup path for non-sort columns."""
     with open(os.path.join(out_dir, "meta.json")) as f:
         meta = json.load(f)
     schema = StructType.fromJson(meta["spark_schema"])
     predicates = _normalize_predicates(predicate)
     extra_pred_cols: list[str] = []  # decoded only to evaluate predicates
     if columns is not None:
-        for pcol, _lo, _hi in predicates:
+        for pred in predicates:
+            pcol = pred[0]
             if pcol not in columns:
                 columns = list(columns) + [pcol]
                 extra_pred_cols.append(pcol)
@@ -824,9 +862,13 @@ def decode_table(spark: SparkSession, out_dir: str,
         pdf = spark.createDataFrame([(p,) for p in paths], "path string")
         out = (pdf.repartition(len(paths), "path")
                   .mapInArrow(decode, schema=schema))
-    for pcol, lo, hi in predicates:
-        out = out.filter((F.col(pcol) >= F.lit(lo))
-                         & (F.col(pcol) <= F.lit(hi)))
+    for pred in predicates:
+        if len(pred) == 2:
+            out = out.filter(F.col(pred[0]).isin(*pred[1]))
+        else:
+            pcol, lo, hi = pred
+            out = out.filter((F.col(pcol) >= F.lit(lo))
+                             & (F.col(pcol) <= F.lit(hi)))
     if extra_pred_cols:   # callers asked for columns=, not the predicate col
         out = out.drop(*extra_pred_cols)
     return out

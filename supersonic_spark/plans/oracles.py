@@ -1096,3 +1096,8 @@ ORACLES["codec_point_lookup"] = """
 SELECT event_id, user_id, event_type
 FROM events WHERE user_id = 7
 """
+
+ORACLES["codec_in_lookup"] = """
+SELECT event_id, user_id
+FROM events WHERE user_id IN (3, 7, 11, 400)
+"""

@@ -99,3 +99,80 @@ def decode_stream(spark: SparkSession, out_dir: str,
                     yield from t.to_batches()
 
     return src.select("content").mapInArrow(dec, schema=schema)
+
+
+def running_sum_stream(stream: DataFrame, key_col: str, order_col: str,
+                       value_col: str,
+                       out_col: str = "running_sum") -> DataFrame:
+    """Streaming RunningSum — the reference's stateful running expression
+    (stateful_expressions.h:17-21 RunningSum) extended to an UNBOUNDED
+    keyed stream via applyInPandasWithState: one long of state per key
+    carries the total across micro-batches; rows inside each batch are
+    ordered by order_col before the cumulative sum. Correct when each
+    key's rows arrive in order_col order across batches (a file source
+    replaying time-ordered files, or any per-key-ordered log). State is
+    O(1) per distinct key — the state store scales with keys, never with
+    rows."""
+    import pandas as pd  # noqa: F401 (worker-side)
+    fields = {f.name: f.dataType.simpleString() for f in stream.schema.fields}
+    out_schema = (f"{key_col} {fields[key_col]}, "
+                  f"{order_col} {fields[order_col]}, "
+                  f"{value_col} {fields[value_col]}, {out_col} long")
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+        total = state.get[0] if state.exists else 0
+        outs = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(order_col)
+            sums = pdf[value_col].astype("int64").cumsum() + total
+            if len(sums):
+                total = int(sums.iloc[-1])
+            out = pdf[[key_col, order_col, value_col]].copy()
+            out[out_col] = sums.astype("int64")
+            outs.append(out)
+        state.update((total,))
+        if outs:
+            yield pd.concat(outs)
+
+    return (stream.groupBy(key_col)
+            .applyInPandasWithState(fn, outputStructType=out_schema,
+                                    stateStructType="total long",
+                                    outputMode="append",
+                                    timeoutConf="NoTimeout"))
+
+
+def dedup_stream(stream: DataFrame, hash_col: str,
+                 payload_cols: list[str],
+                 order_col: str | None = None) -> DataFrame:
+    """Streaming exact dedup: emit only the FIRST row ever seen per
+    hash_col value; later arrivals (same batch or any later batch) are
+    dropped. applyInPandasWithState keeps one boolean of state per
+    distinct hash — the streaming form of the batch exact-dedup
+    representative-keep, for continuously-appended corpora where a batch
+    dropDuplicates would need the full history every run. Within a
+    micro-batch the representative is the order_col-minimal row when
+    order_col is given (deterministic), else the first delivered row.
+    State is O(1) per distinct document; add a watermark-based timeout
+    upstream if the dedup horizon is bounded."""
+    import pandas as pd  # noqa: F401 (worker-side)
+    fields = {f.name: f.dataType.simpleString() for f in stream.schema.fields}
+    cols = [hash_col] + [c for c in payload_cols if c != hash_col]
+    out_schema = ", ".join(f"{c} {fields[c]}" for c in cols)
+
+    def fn(key, pdfs, state):
+        seen = state.exists
+        for pdf in pdfs:
+            if seen or len(pdf) == 0:
+                continue
+            seen = True
+            if order_col is not None:
+                pdf = pdf.sort_values(order_col)
+            yield pdf[cols].head(1)
+        state.update((True,))
+
+    return (stream.groupBy(hash_col)
+            .applyInPandasWithState(fn, outputStructType=out_schema,
+                                    stateStructType="seen boolean",
+                                    outputMode="append",
+                                    timeoutConf="NoTimeout"))

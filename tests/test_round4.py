@@ -158,6 +158,34 @@ def test_bloom_point_lookup_prunes_beyond_zone_maps(spark, tmp_path):
     assert kept < total, f"bloom pruned nothing ({kept}/{total})"
 
 
+def test_in_list_predicate_with_bloom(spark, tmp_path):
+    """(col, [values]) membership: exact IN results, bloom-pruned, and
+    bad member types / empty lists rejected."""
+    from supersonic_spark.pipeline import (EncodeConfig,
+                                           _normalize_predicates,
+                                           decode_table, encode_table)
+    rows = [(i, i * 1000, i % 97, f"e{i % 5}") for i in range(3000)]
+    df = spark.createDataFrame(
+        rows, "event_id long, t long, user_id long, etype string")
+    out = str(tmp_path / "enc_in")
+    cfg = EncodeConfig(n_partitions=3, chunk_rows=128, conv_key="user_id",
+                       order_key="event_id", sort_keys=("t", "event_id"),
+                       bloom_cols=("user_id",))
+    encode_table(spark, df, out, cfg, fingerprint="inlist")
+    targets = [5, 41, 96]
+    dec = decode_table(spark, out, columns=["event_id"],
+                       predicate=("user_id", targets))
+    got = sorted(r["event_id"] for r in dec.collect())
+    want = sorted(r["event_id"] for r in
+                  df.filter(F.col("user_id").isin(targets)).collect())
+    assert got == want and len(got) > 0
+    assert dec.columns == ["event_id"]
+    with pytest.raises(ValueError):
+        _normalize_predicates(("user_id", []))
+    with pytest.raises(TypeError):
+        _normalize_predicates(("user_id", [1, "x"]))
+
+
 def test_bloom_roundtrip_membership():
     from supersonic_spark.pipeline import _bloom_build, _bloom_member
     import base64
@@ -329,3 +357,74 @@ def test_iceberg_seam_no_catalog_raises(monkeypatch):
     monkeypatch.setattr(table_io, "_iceberg_available", lambda s: False)
     with pytest.raises(ValueError):
         table_io.load_table(SimpleNamespace(), "cat.db.transcripts")
+
+
+# --- streaming stateful operators -------------------------------------------
+
+def _write_time_sliced(spark, tmp_path, rows, schema, n_slices=4):
+    """K parquet dirs written sequentially (increasing mtime) so a
+    maxFilesPerTrigger=1 replay delivers them as K ordered micro-batches
+    and cross-batch state is genuinely exercised."""
+    import time as _time
+    src = str(tmp_path / "sliced_src")
+    per = (len(rows) + n_slices - 1) // n_slices
+    for k in range(n_slices):
+        chunk = rows[k * per:(k + 1) * per]
+        if not chunk:
+            continue
+        spark.createDataFrame(chunk, schema).coalesce(1) \
+             .write.mode("overwrite").parquet(f"{src}/slice={k}")
+        _time.sleep(1.1)   # distinct mtimes -> deterministic batch order
+    return src
+
+
+def _drain(spark, stream_df, name):
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_running_sum_stream_equals_batch(spark, tmp_path):
+    from pyspark.sql import Window
+    from supersonic_spark.streaming import running_sum_stream
+    rows = [(i % 7, i, (i * 13) % 50) for i in range(400)]
+    schema = "k int, ord int, v long"
+    src = _write_time_sliced(spark, tmp_path, rows, schema)
+    sschema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(sschema)
+              .option("recursiveFileLookup", "true")
+              .option("maxFilesPerTrigger", 1)   # genuine multi-batch state
+              .parquet(src))
+    got = _drain(spark, running_sum_stream(stream, "k", "ord", "v"),
+                 "rss_equiv")
+    w = (Window.partitionBy("k").orderBy("ord")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    batch = (spark.read.option("recursiveFileLookup", "true").parquet(src)
+             .withColumn("running_sum", F.sum("v").over(w)))
+    want = {(r["k"], r["ord"]): r["running_sum"] for r in batch.collect()}
+    out = {(r["k"], r["ord"]): r["running_sum"] for r in got.collect()}
+    assert out == want and len(out) == 400
+
+
+def test_dedup_stream_first_occurrence_only(spark, tmp_path):
+    from supersonic_spark.streaming import dedup_stream
+    # 60 distinct hashes, each appearing 1-4 times across the slices;
+    # first occurrence has the smallest ord
+    rows = []
+    for i in range(200):
+        h = f"h{i % 60:03d}"
+        rows.append((h, i, f"payload-{i}"))
+    schema = "h string, ord int, text string"
+    src = _write_time_sliced(spark, tmp_path, rows, schema)
+    sschema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(sschema)
+              .option("recursiveFileLookup", "true")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src))
+    got = _drain(spark, dedup_stream(stream, "h", ["h", "ord", "text"],
+                                     order_col="ord"),
+                 "dds_equiv").collect()
+    assert len(got) == 60                       # one per distinct hash
+    firsts = {r["h"]: r["ord"] for r in got}
+    assert firsts == {f"h{i:03d}": i for i in range(60)}
