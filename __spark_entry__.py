@@ -1144,6 +1144,32 @@ def q_codec_in_lookup(spark, sf):
     return dec.select("event_id", "user_id")
 
 
+def q_codec_compaction(spark, sf):
+    """Small-file compaction: two separately-encoded event 'epochs'
+    (the streaming sink's accretion pattern) byte-concatenated into
+    fewer, larger block files with a merged renumbered manifest — then
+    decoded as ONE table. No decode/re-encode in the compaction itself;
+    oracle is the plain union."""
+    import tempfile
+    from supersonic_spark.pipeline import (EncodeConfig, compact_blocks,
+                                           decode_table, encode_table)
+    ev = _t(spark, sf, "events").select("event_id", "ts", "user_id",
+                                        "event_type", "value")
+    cfg = EncodeConfig(n_partitions=4, chunk_rows=512, conv_key="user_id",
+                       order_key="event_id", sort_keys=("ts", "event_id"))
+    base = tempfile.mkdtemp(prefix="ss_compact_gate_")
+    half = 5000
+    encode_table(spark, ev.filter(F.col("event_id") < half),
+                 f"{base}/ep0", cfg, fingerprint="cmp-ep0")
+    encode_table(spark, ev.filter(F.col("event_id") >= half),
+                 f"{base}/ep1", cfg, fingerprint="cmp-ep1")
+    compact_blocks(spark, [f"{base}/ep0", f"{base}/ep1"],
+                   f"{base}/merged", group_size=4)
+    dec = decode_table(spark, f"{base}/merged",
+                       columns=["event_id", "user_id", "event_type"])
+    return dec.select("event_id", "user_id", "event_type")
+
+
 def q_codec_selection_report(spark, sf):
     """Lineage view: which codec the auto-selector picks per column of
     the documents table, per partition (rows-only check)."""
@@ -1438,6 +1464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4_priority_check": q_tpch_q4_priority_check,
         "codec_point_lookup": q_codec_point_lookup,
         "codec_in_lookup": q_codec_in_lookup,
+        "codec_compaction": q_codec_compaction,
         # --- twice-driver-proven relational set (rounds 1-3) ---
         "scan_project": q_scan_project,
         "compute_expr": q_compute_expr,

@@ -568,7 +568,8 @@ def _normalize_arrow_units(tbl: pa.Table) -> pa.Table:
 
 def encode_table_prebucketed(spark: SparkSession, input_dir: str,
                              out_dir: str, cfg: EncodeConfig | None = None,
-                             fingerprint: str = "") -> DataFrame:
+                             fingerprint: str = "",
+                             per_file_fingerprint: bool = True) -> DataFrame:
     """Shuffle-free encode over a PRE-BUCKETED parquet layout: one task
     per bucket file; the kernel reads its file in-process with pyarrow,
     sorts by sort_keys (Arrow C++ sort_indices), and encodes — no JVM
@@ -585,7 +586,16 @@ def encode_table_prebucketed(spark: SparkSession, input_dir: str,
     point-reads cheap, so it is the layout a production transcript table
     would already have. Checkpoint/resume semantics are per bucket file
     (same markers as the shuffle path); blocks, manifest, zone maps and
-    blooms are byte-compatible with decode_table."""
+    blooms are byte-compatible with decode_table.
+
+    per_file_fingerprint=True (default) keys each file's resume marker by
+    (config, file name, size, mtime) instead of one whole-input
+    fingerprint — INCREMENTAL ENCODE: when the bucketed table grows,
+    re-running encodes only the new/changed bucket files and resumes
+    every untouched one. Assumes an append-only layout (existing files
+    keep their sorted position; new files sort after them, as Spark
+    part-file naming does) — if files are renamed or reordered, use a
+    fresh out_dir."""
     cfg = cfg or EncodeConfig()
     paths = sorted(os.path.join(input_dir, p) for p in os.listdir(input_dir)
                    if p.endswith(".parquet"))
@@ -612,6 +622,15 @@ def encode_table_prebucketed(spark: SparkSession, input_dir: str,
         json.dump(meta, f, indent=1)
 
     idx = {p: i for i, p in enumerate(paths)}
+    if per_file_fingerprint:
+        def _ffp(p):
+            st = os.stat(p)
+            blob = (f"{cfg_hash}:{os.path.basename(p)}:{st.st_size}:"
+                    f"{int(st.st_mtime)}").encode()
+            return hashlib.md5(blob).hexdigest()[:12]
+        fps = {p: _ffp(p) for p in paths}
+    else:
+        fps = {p: cfg_hash for p in paths}
     overrides, chunk_rows = cfg.codec_overrides, cfg.chunk_rows
     entropy, sort_keys = cfg.entropy, cfg.sort_keys
     bloom_cols, bloom_bits = cfg.bloom_cols, cfg.bloom_bits
@@ -621,14 +640,22 @@ def encode_table_prebucketed(spark: SparkSession, input_dir: str,
         from .runtime import pin_worker_threads
         pin_worker_threads()
         import pyarrow.parquet as pq
+
+        def lazy_batches(path):
+            # generator: the parquet read happens only if the marker
+            # check inside _encode_partition_stream does NOT resume —
+            # resumed files cost one stat + one tiny JSON read, not a
+            # table scan. Spark writes INT96 timestamps that pyarrow
+            # reads as ns; normalize to the µs unit Spark's own Arrow
+            # bridge uses so decoded blocks round-trip through
+            # mapInArrow unchanged.
+            tbl = _normalize_arrow_units(pq.read_table(path))
+            yield from tbl.to_batches()
+
         for batch in batches:
             for path in batch.column(0).to_pylist():
-                # Spark writes INT96 timestamps that pyarrow reads as ns;
-                # normalize to the µs unit Spark's own Arrow bridge uses so
-                # decoded blocks round-trip through mapInArrow unchanged
-                tbl = _normalize_arrow_units(pq.read_table(path))
                 rows = _encode_partition_stream(
-                    idx[path], iter(tbl.to_batches()), out_dir, cfg_hash,
+                    idx[path], lazy_batches(path), out_dir, fps[path],
                     overrides, chunk_rows, entropy, sort_keys,
                     bloom_cols, bloom_bits, bloom_hashes)
                 yield _manifest_batch(rows)
@@ -642,6 +669,107 @@ def encode_table_prebucketed(spark: SparkSession, input_dir: str,
         schema="path string")
     manifest = pdf.mapInArrow(run, schema=MANIFEST_SCHEMA)
     manifest.write.mode("overwrite").parquet(os.path.join(out_dir, "manifest"))
+    return spark.read.parquet(os.path.join(out_dir, "manifest"))
+
+
+def compact_blocks(spark: SparkSession, src_dirs: list[str], out_dir: str,
+                   group_size: int = 8) -> DataFrame:
+    """Small-file compaction for encoded block tables: byte-concatenate
+    groups of .ssb files into larger ones and merge their manifests with
+    renumbered (partition_id, chunk_id) — pure sequential I/O, no decode
+    or re-encode. Block frames are self-contained, so chunk payloads,
+    zone maps and blooms survive verbatim and chunk-level pruning
+    fidelity is preserved in the merged manifest.
+
+    This is the answer to the streaming encode sink's epoch=N/ small-file
+    accretion (and to over-partitioned batch encodes) at 10^12-turn
+    scale: periodic compaction keeps the file count O(data/target_size)
+    while reads stay pruned. All src dirs must share one schema; the
+    merged table reads through decode_table like any encode_table
+    output. Distributed: one task per output file; the driver only
+    handles the O(#files) grouping metadata."""
+    import glob
+    metas = []
+    for d in src_dirs:
+        with open(os.path.join(d, "meta.json")) as f:
+            metas.append(json.load(f))
+    schema0 = metas[0]["spark_schema"]
+    for d, m in zip(src_dirs[1:], metas[1:]):
+        if m["spark_schema"] != schema0:
+            raise ValueError(f"schema mismatch: {d} differs from "
+                             f"{src_dirs[0]}")
+
+    # deterministic (src file -> output group) assignment + chunk offsets
+    entries = []  # (path, chunk_count)
+    for d in src_dirs:
+        man = spark.read.parquet(os.path.join(d, "manifest"))
+        counts = {int(r["partition_id"]): int(r["n"]) for r in
+                  (man.groupBy("partition_id")
+                      .agg((F.max("chunk_id") + 1).alias("n")).collect())}
+        for p in sorted(glob.glob(os.path.join(d, "blocks", "*.ssb"))):
+            pid = int(os.path.basename(p)[5:10])
+            entries.append((d, pid, p, counts.get(pid, 0)))
+    if not entries:
+        raise ValueError("no block files under src_dirs")
+
+    groups: list[list] = [entries[i:i + group_size]
+                          for i in range(0, len(entries), group_size)]
+    os.makedirs(os.path.join(out_dir, "blocks"), exist_ok=True)
+    meta = dict(metas[0])
+    meta["n_partitions"] = len(groups)
+    meta["compacted_from"] = len(entries)
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+
+    blk_dir = os.path.join(out_dir, "blocks")
+
+    def concat(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            for gid, paths_json in zip(batch.column(0).to_pylist(),
+                                       batch.column(1).to_pylist()):
+                dst = os.path.join(blk_dir, f"part-{gid:05d}.ssb")
+                tmp = dst + ".tmp"
+                with open(tmp, "wb") as out:
+                    for p in json.loads(paths_json):
+                        with open(p, "rb") as src:
+                            while True:
+                                buf = src.read(1 << 22)
+                                if not buf:
+                                    break
+                                out.write(buf)
+                os.replace(tmp, dst)
+        yield pa.RecordBatch.from_pydict({"done": pa.array([], pa.int32())})
+
+    rows = [(gid, json.dumps([p for _d, _p, p, _n in grp]))
+            for gid, grp in enumerate(groups)]
+    pdf = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, numSlices=len(rows)),
+        schema="gid int, paths string")
+    pdf.mapInArrow(concat, schema="done int").write \
+        .format("noop").mode("overwrite").save()
+
+    # merged manifest: rewrite (partition_id, chunk_id) via a tiny
+    # broadcast mapping (O(#src files) rows)
+    map_rows = []
+    for gid, grp in enumerate(groups):
+        off = 0
+        for d, pid, _p, n_chunks in grp:
+            map_rows.append((d, pid, gid, off))
+            off += n_chunks
+    mdf = F.broadcast(spark.createDataFrame(
+        map_rows, "src_dir string, partition_id int, new_pid int, "
+                  "chunk_off int"))
+    merged = None
+    for d in src_dirs:
+        man = (spark.read.parquet(os.path.join(d, "manifest"))
+               .withColumn("src_dir", F.lit(d)))
+        merged = man if merged is None else merged.unionByName(man)
+    out_man = (merged.join(mdf, ["src_dir", "partition_id"], "inner")
+               .withColumn("partition_id", F.col("new_pid"))
+               .withColumn("chunk_id", F.col("chunk_id")
+                           + F.col("chunk_off"))
+               .drop("src_dir", "new_pid", "chunk_off"))
+    out_man.write.mode("overwrite").parquet(os.path.join(out_dir, "manifest"))
     return spark.read.parquet(os.path.join(out_dir, "manifest"))
 
 

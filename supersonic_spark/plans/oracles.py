@@ -1101,3 +1101,7 @@ ORACLES["codec_in_lookup"] = """
 SELECT event_id, user_id
 FROM events WHERE user_id IN (3, 7, 11, 400)
 """
+
+ORACLES["codec_compaction"] = """
+SELECT event_id, user_id, event_type FROM events
+"""

@@ -359,6 +359,98 @@ def test_iceberg_seam_no_catalog_raises(monkeypatch):
         table_io.load_table(SimpleNamespace(), "cat.db.transcripts")
 
 
+def test_prebucketed_incremental_encode(spark, tmp_path):
+    """Appending a new bucket file and re-running encodes ONLY the new
+    file (per-file fingerprints); existing buckets resume from their
+    markers and the merged table decodes the full union."""
+    from supersonic_spark.pipeline import (EncodeConfig, decode_table,
+                                           encode_table_prebucketed)
+    schema = "conv_id string, turn_idx int, text string"
+    bdir = tmp_path / "grow_buckets"
+    bdir.mkdir()
+    rows_a = [(f"c{i:03d}", j, f"t {i} {j}")
+              for i in range(40) for j in range(10)]
+    spark.createDataFrame(rows_a, schema).coalesce(1).write \
+         .mode("overwrite").parquet(str(bdir / "b0"))
+    import shutil as _sh
+    # flatten: one .parquet file per bucket at the top level
+    for k, sub in enumerate(sorted(bdir.glob("b*/part-*.parquet"))):
+        _sh.copy(sub, bdir / f"bucket-{k:03d}.parquet")
+    _sh.rmtree(bdir / "b0")
+    out = str(tmp_path / "grow_enc")
+    cfg = EncodeConfig(chunk_rows=128, sort_keys=("conv_id", "turn_idx"))
+    man1 = encode_table_prebucketed(spark, str(bdir), out, cfg,
+                                    fingerprint="grow")
+    assert man1.filter(F.col("resumed")).count() == 0
+
+    rows_b = [(f"d{i:03d}", j, f"u {i} {j}")
+              for i in range(20) for j in range(10)]
+    spark.createDataFrame(rows_b, schema).coalesce(1).write \
+         .mode("overwrite").parquet(str(bdir / "b1"))
+    for sub in sorted(bdir.glob("b1/part-*.parquet")):
+        _sh.copy(sub, bdir / "bucket-900.parquet")   # sorts last
+    _sh.rmtree(bdir / "b1")
+
+    man2 = encode_table_prebucketed(spark, str(bdir), out, cfg,
+                                    fingerprint="grow")
+    res = {bool(r["resumed"]) for r in
+           man2.select("partition_id", "resumed").distinct().collect()}
+    assert res == {True, False}                 # old resumed, new encoded
+    fresh = (man2.filter(~F.col("resumed"))
+             .select("partition_id").distinct().count())
+    assert fresh == 1                           # exactly the new bucket
+    dec = decode_table(spark, out)
+    assert dec.count() == len(rows_a) + len(rows_b)
+    assert dec.filter(F.col("conv_id").startswith("d")).count() == 200
+
+
+def test_compact_blocks_preserves_rows_and_pruning(spark, tmp_path):
+    """Byte-level compaction of two encoded tables (e.g. streaming
+    epochs): decode equals the union, and chunk pruning (zone + bloom)
+    still works against the merged, renumbered manifest."""
+    from supersonic_spark.pipeline import (EncodeConfig, compact_blocks,
+                                           decode_table, encode_table)
+    cfg = EncodeConfig(n_partitions=3, chunk_rows=128, conv_key="user_id",
+                       order_key="event_id", sort_keys=("t", "event_id"),
+                       bloom_cols=("user_id",))
+    rows_a = [(i, i * 10, i % 31, f"e{i % 3}") for i in range(1500)]
+    rows_b = [(i, i * 10, i % 31, f"e{i % 3}") for i in range(1500, 2600)]
+    schema = "event_id long, t long, user_id long, etype string"
+    d_a, d_b = str(tmp_path / "ep0"), str(tmp_path / "ep1")
+    df_a = spark.createDataFrame(rows_a, schema)
+    df_b = spark.createDataFrame(rows_b, schema)
+    encode_table(spark, df_a, d_a, cfg, fingerprint="ep0")
+    encode_table(spark, df_b, d_b, cfg, fingerprint="ep1")
+    out = str(tmp_path / "compacted")
+    compact_blocks(spark, [d_a, d_b], out, group_size=4)
+
+    import os as _os
+    n_files = len([p for p in _os.listdir(out + "/blocks")
+                   if p.endswith(".ssb")])
+    n_src = len([p for p in _os.listdir(d_a + "/blocks")
+                 if p.endswith(".ssb")]) + \
+        len([p for p in _os.listdir(d_b + "/blocks") if p.endswith(".ssb")])
+    assert n_files < n_src                      # actually compacted
+
+    dec = decode_table(spark, out)
+    got = sorted(r["event_id"] for r in dec.collect())
+    assert got == list(range(2600))             # union, nothing lost
+
+    # point lookup still prunes via the merged manifest's blooms
+    from supersonic_spark.pipeline import _pruned_chunks
+    target = 7
+    one = decode_table(spark, out, columns=["event_id"],
+                       predicate=("user_id", target, target))
+    want = sorted(i for i in range(2600) if i % 31 == target)
+    assert sorted(r["event_id"] for r in one.collect()) == want
+    keep = _pruned_chunks(spark, out, [("user_id", target, target)])
+    kept = sum(len(s) for s in keep.values())
+    total = (spark.read.parquet(out + "/manifest")
+             .filter(F.col("column") == "user_id")
+             .select("partition_id", "chunk_id").distinct().count())
+    assert kept < total
+
+
 # --- streaming stateful operators -------------------------------------------
 
 def _write_time_sliced(spark, tmp_path, rows, schema, n_slices=4):
