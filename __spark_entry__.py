@@ -1035,6 +1035,22 @@ def q_ann_ivf_topk_arrow(spark, sf):
     return ivf_topk_arrow(e, qvec, 20, cents, n_probe=4)
 
 
+def q_ann_ivf_topk_indexed(spark, sf):
+    # write-time IVF index (parquet partitioned by cell) + pruned probe;
+    # full probing == exact -> brute-force oracle. The probe's scan
+    # carries the cell predicate as PartitionFilters (directory pruning).
+    import tempfile
+    import pyarrow.parquet as pq
+    from supersonic_spark.ann import (build_ivf_index, ivf_topk_indexed,
+                                      train_centroids)
+    e = _t(spark, sf, "embeddings")
+    qvec = pq.read_table(f"{sf}/embeddings.parquet").column("embedding")[0].as_py()
+    cents = train_centroids(e, k=4)
+    idx_dir = tempfile.mkdtemp(prefix="ss_ivf_idx_")
+    build_ivf_index(spark, e, idx_dir, cents)
+    return ivf_topk_indexed(spark, idx_dir, qvec, 20, cents, n_probe=4)
+
+
 def q_ann_topk_multi(spark, sf):
     # batch-of-queries top-k: one matmul scan + map-side partial top-k
     # (the realistic many-query ANN hot path)
@@ -1465,6 +1481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_point_lookup": q_codec_point_lookup,
         "codec_in_lookup": q_codec_in_lookup,
         "codec_compaction": q_codec_compaction,
+        "ann_ivf_topk_indexed": q_ann_ivf_topk_indexed,
         # --- twice-driver-proven relational set (rounds 1-3) ---
         "scan_project": q_scan_project,
         "compute_expr": q_compute_expr,

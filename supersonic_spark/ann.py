@@ -420,6 +420,40 @@ def ivf_topk_arrow(df: DataFrame, query: list[float], k: int,
     return cosine_topk_arrow(cand, query, k, id_col, vec_col)
 
 
+def build_ivf_index(spark, df: DataFrame, out_dir: str,
+                    centroids: list[list[float]], id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> str:
+    """WRITE-TIME IVF index: assign cells with the Arrow quantizer and
+    persist parquet PARTITIONED BY ivf_cell — the materialized form of
+    the 'bucketed at write' scale path. A probe then reads ONLY the
+    probed cells' directories via Spark partition pruning (the scan's
+    PartitionFilters), so query cost is O(probed fraction) of the table
+    instead of a full scan + filter. One shuffle-free pass to build;
+    amortized over every query."""
+    assigned = ivf_assign_arrow(df, centroids, id_col, vec_col)
+    assigned.write.mode("overwrite").partitionBy("ivf_cell") \
+        .parquet(out_dir)
+    return out_dir
+
+
+def ivf_topk_indexed(spark, index_dir: str, query: list[float], k: int,
+                     centroids: list[list[float]], n_probe: int = 2,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Probe a build_ivf_index layout: pick the n_probe nearest cells,
+    read only their partitions (directory-level pruning — the plan's
+    PartitionFilters carries the ivf_cell IN (...) predicate), then the
+    exact Arrow-batched scorer over the candidates. n_probe =
+    len(centroids) is exact."""
+    import math
+    dists = [(i, math.dist(query, c)) for i, c in enumerate(centroids)]
+    probe = [i for i, _ in sorted(dists, key=lambda t: t[1])[:n_probe]]
+    cand = (spark.read.parquet(index_dir)
+            .filter(F.col("ivf_cell").isin(probe))
+            .select(id_col, vec_col))
+    return cosine_topk_arrow(cand, query, k, id_col, vec_col)
+
+
 def ivf_topk(df: DataFrame, query: list[float], k: int,
              centroids: list[list[float]], n_probe: int = 2,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

@@ -1105,3 +1105,5 @@ FROM events WHERE user_id IN (3, 7, 11, 400)
 ORACLES["codec_compaction"] = """
 SELECT event_id, user_id, event_type FROM events
 """
+
+ORACLES["ann_ivf_topk_indexed"] = ORACLES["ann_topk"]

@@ -520,3 +520,34 @@ def test_dedup_stream_first_occurrence_only(spark, tmp_path):
     assert len(got) == 60                       # one per distinct hash
     firsts = {r["h"]: r["ord"] for r in got}
     assert firsts == {f"h{i:03d}": i for i in range(60)}
+
+
+def test_ivf_indexed_partition_pruning(spark, tmp_path):
+    """build_ivf_index writes parquet partitioned by cell; a pruned
+    probe reads only the probed cells (PartitionFilters in the scan)
+    and full probing equals brute force exactly."""
+    import numpy as np
+    from supersonic_spark.ann import (build_ivf_index, cosine_topk_arrow,
+                                      ivf_topk_indexed, train_centroids)
+    rng = np.random.RandomState(3)
+    rows = [(i, [float(x) for x in rng.normal(0, 1, 8)]) for i in range(500)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = train_centroids(df, k=4)
+    idx = str(tmp_path / "ivf_idx")
+    build_ivf_index(spark, df, idx, cents)
+    q = rows[0][1]
+    exact = cosine_topk_arrow(df, q, 10).collect()
+    full = ivf_topk_indexed(spark, idx, q, 10, cents, n_probe=4).collect()
+    assert [(r["vec_id"], r["cos_sim"]) for r in full] == \
+           [(r["vec_id"], r["cos_sim"]) for r in exact]
+    # pruned probe: scan plan carries the cell predicate as a
+    # partition filter (directory pruning, not a data filter)
+    from pyspark.sql import functions as F
+    pruned = (spark.read.parquet(idx)
+              .filter(F.col("ivf_cell").isin([0, 1])))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_cell" in plan.split(
+        "PartitionFilters", 1)[1][:200]
+    # and the pruned read really excludes other cells
+    assert set(r["ivf_cell"] for r in
+               pruned.select("ivf_cell").distinct().collect()) <= {0, 1}
