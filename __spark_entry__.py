@@ -1186,6 +1186,29 @@ def q_codec_compaction(spark, sf):
     return dec.select("event_id", "user_id", "event_type")
 
 
+def q_codec_stats_agg(spark, sf):
+    """Metadata-only aggregation: COUNT / COUNT(col) / MIN / MAX / SUM
+    answered purely from the lineage manifest (per-chunk n_rows, null
+    counts, zone maps and exact int64 sums) — zero block payloads read.
+    At 10^12 turns this is one manifest scan vs a full decode."""
+    import tempfile
+    from supersonic_spark.pipeline import (EncodeConfig, encode_table,
+                                           manifest_stats)
+    ev = _t(spark, sf, "events").select("event_id", "ts", "user_id",
+                                        "event_type", "value")
+    out = tempfile.mkdtemp(prefix="ss_stats_gate_")
+    cfg = EncodeConfig(n_partitions=4, chunk_rows=512, conv_key="user_id",
+                       order_key="event_id", sort_keys=("ts", "event_id"))
+    encode_table(spark, ev, out, cfg, fingerprint="stats-gate")
+    s = manifest_stats(spark, out)
+    return (s.filter(F.col("column").isin("event_id", "user_id"))
+            .select(F.col("column").alias("col_name"), "n_rows", "n_values",
+                    F.col("min_num").cast("long").alias("min_v"),
+                    F.col("max_num").cast("long").alias("max_v"),
+                    F.col("sum_int").alias("sum_v"))
+            .orderBy("col_name"))
+
+
 def q_codec_selection_report(spark, sf):
     """Lineage view: which codec the auto-selector picks per column of
     the documents table, per partition (rows-only check)."""
@@ -1482,6 +1505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_in_lookup": q_codec_in_lookup,
         "codec_compaction": q_codec_compaction,
         "ann_ivf_topk_indexed": q_ann_ivf_topk_indexed,
+        "codec_stats_agg": q_codec_stats_agg,
         # --- twice-driver-proven relational set (rounds 1-3) ---
         "scan_project": q_scan_project,
         "compute_expr": q_compute_expr,

@@ -57,6 +57,10 @@ MANIFEST_SCHEMA = StructType([
     StructField("vmax_num", DoubleType(), True),
     StructField("vmin_str", StringType(), True),
     StructField("vmax_str", StringType(), True),
+    # exact int64 chunk sum (integer/boolean columns only) + null count:
+    # lets COUNT/MIN/MAX/SUM be answered from the manifest alone
+    StructField("vsum_int", LongType(), True),
+    StructField("n_nulls", LongType(), True),
     # per-chunk bloom filter (base64: 1 byte hash-count k + bitset) for
     # point-lookup pruning on non-sort columns; NULL = no bloom recorded
     StructField("bloom_b64", StringType(), True),
@@ -101,14 +105,18 @@ def _bloom_member(value, blob: bytes) -> bool:
 
 
 def _zone_stats(col) -> tuple:
-    """(vmin_num, vmax_num, vmin_str, vmax_str) for one column chunk.
-    Numeric bounds are widened outward when they exceed float53 precision
-    (int64/ns values) so a rounded bound can never wrongly exclude a
-    chunk — zone maps must be conservative."""
+    """(vmin_num, vmax_num, vmin_str, vmax_str, vsum_int, n_nulls) for
+    one column chunk. Numeric bounds are widened outward when they exceed
+    float53 precision (int64/ns values) so a rounded bound can never
+    wrongly exclude a chunk — zone maps must be conservative. vsum_int is
+    the EXACT int64 sum for integer/boolean columns (None elsewhere or on
+    overflow), which together with n_rows/n_nulls lets COUNT/MIN/MAX/SUM
+    be answered from the manifest alone (metadata-only aggregation)."""
     import numpy as np
     import pyarrow.compute as pc
     t = col.type
     scale = 1
+    n_nulls = int(col.null_count)
     try:
         if pa.types.is_timestamp(t):
             # normalize every source unit to ns-since-epoch so driver-side
@@ -119,21 +127,33 @@ def _zone_stats(col) -> tuple:
                 or pa.types.is_boolean(t)):
             mm = pc.min_max(col)
             lo, hi = mm["min"].as_py(), mm["max"].as_py()
-            if lo is None:
-                return None, None, None, None
+            if lo is None:     # all-NULL chunk: SUM contributes 0 exactly
+                z = 0 if ((pa.types.is_integer(t) or pa.types.is_boolean(t))
+                          and scale == 1) else None
+                return None, None, None, None, z, n_nulls
+            vsum = None
+            if (pa.types.is_integer(t) or pa.types.is_boolean(t)) \
+                    and scale == 1:
+                try:
+                    vsum = int(pc.sum(col).as_py())
+                    if abs(vsum) >= 2 ** 63 - 1:
+                        vsum = None
+                except (OverflowError, pa.lib.ArrowInvalid):
+                    vsum = None
             lo, hi = lo * scale, hi * scale
             lo_f, hi_f = float(lo), float(hi)
             if abs(lo) > 2 ** 53:
                 lo_f = float(np.nextafter(lo_f, -np.inf))
             if abs(hi) > 2 ** 53:
                 hi_f = float(np.nextafter(hi_f, np.inf))
-            return lo_f, hi_f, None, None
+            return lo_f, hi_f, None, None, vsum, n_nulls
         if pa.types.is_string(t) or pa.types.is_large_string(t):
             mm = pc.min_max(col)
-            return None, None, mm["min"].as_py(), mm["max"].as_py()
+            return (None, None, mm["min"].as_py(), mm["max"].as_py(),
+                    None, n_nulls)
     except pa.lib.ArrowNotImplementedError:
         pass
-    return None, None, None, None
+    return None, None, None, None, None, n_nulls
 
 
 @dataclass
@@ -334,7 +354,8 @@ def _encode_partition_stream(pid: int, batches: Iterator[pa.RecordBatch],
                 per_col_out = _per_column_sizes(buf, chunk.schema.names)
                 for name in chunk.schema.names:
                     col = chunk.column(name).combine_chunks()
-                    zmin, zmax, zmin_s, zmax_s = _zone_stats(col)
+                    (zmin, zmax, zmin_s, zmax_s,
+                     zsum, znulls) = _zone_stats(col)
                     manifest_rows.append({
                         "partition_id": pid, "chunk_id": chunk_id,
                         "column": name, "codec": applied[name],
@@ -346,6 +367,7 @@ def _encode_partition_stream(pid: int, batches: Iterator[pa.RecordBatch],
                         "resumed": False,
                         "vmin_num": zmin, "vmax_num": zmax,
                         "vmin_str": zmin_s, "vmax_str": zmax_s,
+                        "vsum_int": zsum, "n_nulls": znulls,
                         # base64 string: JSON-safe in resume markers
                         "bloom_b64": (_bloom_build(col, bloom_bits,
                                                    bloom_hashes)
@@ -444,6 +466,8 @@ def _manifest_batch(rows: list[dict]) -> pa.RecordBatch:
         "vmax_num": pa.array([r.get("vmax_num") for r in rows], pa.float64()),
         "vmin_str": pa.array([r.get("vmin_str") for r in rows], pa.string()),
         "vmax_str": pa.array([r.get("vmax_str") for r in rows], pa.string()),
+        "vsum_int": pa.array([r.get("vsum_int") for r in rows], pa.int64()),
+        "n_nulls": pa.array([r.get("n_nulls") for r in rows], pa.int64()),
         "bloom_b64": pa.array([r.get("bloom_b64") for r in rows],
                               pa.string()),
     }
@@ -1017,6 +1041,40 @@ def manifest_summary(manifest: DataFrame) -> DataFrame:
                                F.round(F.col("rows") / F.col("encode_sec"), 1)))
             .withColumn("ratio",
                         F.round(F.col("bytes_out") / F.col("bytes_in"), 4)))
+
+
+def manifest_stats(spark: SparkSession, out_dir: str) -> DataFrame:
+    """METADATA-ONLY aggregation: per-column COUNT / COUNT(col) / MIN /
+    MAX / SUM computed purely from the manifest — zero block payloads
+    touched. The Iceberg/Snowflake stats-only query path: at 10^12 turns
+    a `SELECT count(*), min(ts), max(ts), sum(n_tokens)` costs one
+    manifest scan, not a table decode.
+
+    Exactness: counts are exact (n_rows/n_nulls per chunk); SUM is exact
+    for integer/boolean columns (per-chunk int64 sums, NULL when any
+    chunk lacked one — overflow, float column, or pre-upgrade manifest);
+    MIN/MAX come from the zone maps, exact for numerics up to 2^53
+    (conservatively widened beyond — consumers needing certainty beyond
+    that must decode), string bounds exact. Timestamp bounds are in
+    ns-since-epoch. Whole-table only: stats of a FILTERED read must go
+    through decode_table (pruned chunk supersets would overcount)."""
+    man = spark.read.parquet(os.path.join(out_dir, "manifest"))
+    has_sum = "vsum_int" in man.columns
+    vsum = (F.when(F.max(F.col("vsum_int").isNull().cast("int")) == 0,
+                   F.sum("vsum_int"))
+            if has_sum else F.lit(None).cast("long"))
+    n_nulls = (F.sum("n_nulls") if "n_nulls" in man.columns
+               else F.lit(None).cast("long"))
+    return (man.groupBy("column")
+            .agg(F.sum("n_rows").alias("n_rows"),
+                 n_nulls.alias("n_nulls"),
+                 F.min("vmin_num").alias("min_num"),
+                 F.max("vmax_num").alias("max_num"),
+                 F.min("vmin_str").alias("min_str"),
+                 F.max("vmax_str").alias("max_str"),
+                 vsum.alias("sum_int"))
+            .withColumn("n_values", F.col("n_rows") - F.coalesce(
+                F.col("n_nulls"), F.lit(0))))
 
 
 def validate_blocks(spark: SparkSession, out_dir: str) -> DataFrame:

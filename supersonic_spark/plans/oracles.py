@@ -1107,3 +1107,18 @@ SELECT event_id, user_id, event_type FROM events
 """
 
 ORACLES["ann_ivf_topk_indexed"] = ORACLES["ann_topk"]
+
+ORACLES["codec_stats_agg"] = """
+SELECT 'event_id' AS col_name, count(*) AS n_rows,
+       count(event_id) AS n_values,
+       CAST(min(event_id) AS BIGINT) AS min_v,
+       CAST(max(event_id) AS BIGINT) AS max_v,
+       CAST(sum(event_id) AS BIGINT) AS sum_v
+FROM events
+UNION ALL
+SELECT 'user_id', count(*), count(user_id),
+       CAST(min(user_id) AS BIGINT), CAST(max(user_id) AS BIGINT),
+       CAST(sum(user_id) AS BIGINT)
+FROM events
+ORDER BY col_name
+"""

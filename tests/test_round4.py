@@ -551,3 +551,31 @@ def test_ivf_indexed_partition_pruning(spark, tmp_path):
     # and the pruned read really excludes other cells
     assert set(r["ivf_cell"] for r in
                pruned.select("ivf_cell").distinct().collect()) <= {0, 1}
+
+
+def test_manifest_stats_metadata_only(spark, tmp_path):
+    """COUNT/COUNT(col)/MIN/MAX/SUM from the manifest alone equal the
+    real aggregates, including NULL handling and all-NULL chunks."""
+    from supersonic_spark.pipeline import (EncodeConfig, encode_table,
+                                           manifest_stats)
+    rows = [(i, None if i % 5 == 0 else (i * 3) % 1000,
+             f"s{i % 9}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "rid long, v long, s string")
+    out = str(tmp_path / "enc_stats")
+    cfg = EncodeConfig(n_partitions=3, chunk_rows=256, conv_key="s",
+                       order_key="rid", sort_keys=("s", "rid"))
+    encode_table(spark, df, out, cfg, fingerprint="stats")
+    stats = {r["column"]: r for r in manifest_stats(spark, out).collect()}
+    real = df.agg(F.count("*").alias("n"), F.count("v").alias("nv"),
+                  F.min("v").alias("mn"), F.max("v").alias("mx"),
+                  F.sum("v").alias("sm")).first()
+    s_v = stats["v"]
+    assert s_v["n_rows"] == real["n"]
+    assert s_v["n_values"] == real["nv"]
+    assert int(s_v["min_num"]) == real["mn"]
+    assert int(s_v["max_num"]) == real["mx"]
+    assert s_v["sum_int"] == real["sm"]
+    # string column: bounds exact, no int sum
+    s_s = stats["s"]
+    assert s_s["min_str"] == "s0" and s_s["max_str"] == "s8"
+    assert s_s["sum_int"] is None
