@@ -165,14 +165,18 @@ def encode_block(batch: pa.RecordBatch | pa.Table, codecs: dict[str, str],
 
 
 def decode_block(buf: bytes, offset: int = 0,
-                 columns: list[str] | None = None) -> tuple[pa.Table, int]:
+                 columns: list[str] | None = None,
+                 missing_ok: bool = False) -> tuple[pa.Table, int]:
     """Decode one block frame. With `columns`, only the named columns are
     decoded — other column frames are SKIPPED by length arithmetic
     without touching their payloads (projection pushdown into the block
     layout; the per-column [name, length, frame] framing exists exactly
     so a reader can seek past columns it doesn't need). The returned
     table preserves the block's column order restricted to `columns`.
-    Bytes consumed always covers the whole block."""
+    missing_ok=True returns only the columns present instead of raising —
+    the additive-schema-evolution read path (blocks encoded before a
+    column existed; the caller fills NULLs). Bytes consumed always
+    covers the whole block."""
     if buf[offset:offset + 4] != _MAGIC_BLOCK:
         raise ValueError("bad block magic")
     n_cols = _U16.unpack_from(buf, offset + 4)[0]
@@ -192,7 +196,7 @@ def decode_block(buf: bytes, offset: int = 0,
             names.append(name)
             arrays.append(arr)
         off += clen
-    if wanted is not None and len(names) < len(wanted):
+    if wanted is not None and len(names) < len(wanted) and not missing_ok:
         missing = sorted(wanted - set(names))
         raise KeyError(f"columns {missing} not present in block")
     return pa.table(dict(zip(names, arrays))), off - offset

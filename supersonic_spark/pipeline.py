@@ -708,7 +708,10 @@ def compact_blocks(spark: SparkSession, src_dirs: list[str], out_dir: str,
     This is the answer to the streaming encode sink's epoch=N/ small-file
     accretion (and to over-partitioned batch encodes) at 10^12-turn
     scale: periodic compaction keeps the file count O(data/target_size)
-    while reads stay pruned. All src dirs must share one schema; the
+    while reads stay pruned. Src dirs may differ by ADDITIVE schema
+    evolution (later epochs add columns; same-named fields must keep
+    their type) — the merged meta carries the union schema and blocks
+    from pre-evolution epochs decode the new columns as NULLs. The
     merged table reads through decode_table like any encode_table
     output. Distributed: one task per output file; the driver only
     handles the O(#files) grouping metadata."""
@@ -717,11 +720,23 @@ def compact_blocks(spark: SparkSession, src_dirs: list[str], out_dir: str,
     for d in src_dirs:
         with open(os.path.join(d, "meta.json")) as f:
             metas.append(json.load(f))
-    schema0 = metas[0]["spark_schema"]
-    for d, m in zip(src_dirs[1:], metas[1:]):
-        if m["spark_schema"] != schema0:
-            raise ValueError(f"schema mismatch: {d} differs from "
-                             f"{src_dirs[0]}")
+    # ADDITIVE schema merge (Iceberg-style evolution): later epochs may
+    # add columns; same-named fields must keep their type. Blocks from
+    # epochs that predate a column decode it as NULL (decode_table's
+    # missing_ok + conform path).
+    merged_fields: list = []
+    seen: dict[str, dict] = {}
+    for d, m in zip(src_dirs, metas):
+        for fld in m["spark_schema"]["fields"]:
+            prev = seen.get(fld["name"])
+            if prev is None:
+                seen[fld["name"]] = fld
+                merged_fields.append(fld)
+            elif prev["type"] != fld["type"]:
+                raise ValueError(
+                    f"type conflict for column {fld['name']!r}: "
+                    f"{prev['type']} vs {fld['type']} ({d})")
+    merged_schema = dict(metas[0]["spark_schema"], fields=merged_fields)
 
     # deterministic (src file -> output group) assignment + chunk offsets
     entries = []  # (path, chunk_count)
@@ -740,6 +755,7 @@ def compact_blocks(spark: SparkSession, src_dirs: list[str], out_dir: str,
                           for i in range(0, len(entries), group_size)]
     os.makedirs(os.path.join(out_dir, "blocks"), exist_ok=True)
     meta = dict(metas[0])
+    meta["spark_schema"] = merged_schema
     meta["n_partitions"] = len(groups)
     meta["compacted_from"] = len(entries)
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
@@ -787,7 +803,8 @@ def compact_blocks(spark: SparkSession, src_dirs: list[str], out_dir: str,
     for d in src_dirs:
         man = (spark.read.parquet(os.path.join(d, "manifest"))
                .withColumn("src_dir", F.lit(d)))
-        merged = man if merged is None else merged.unionByName(man)
+        merged = (man if merged is None
+                  else merged.unionByName(man, allowMissingColumns=True))
     out_man = (merged.join(mdf, ["src_dir", "partition_id"], "inner")
                .withColumn("partition_id", F.col("new_pid"))
                .withColumn("chunk_id", F.col("chunk_id")
@@ -992,6 +1009,19 @@ def decode_table(spark: SparkSession, out_dir: str,
         from .runtime import pin_worker_threads
         pin_worker_threads()
         from .codecs import block_span
+        from pyspark.sql.pandas.types import to_arrow_type
+        target = [(f.name, to_arrow_type(f.dataType)) for f in schema.fields]
+
+        def conform(tbl: pa.Table) -> pa.Table:
+            # additive schema evolution + stable column order: blocks
+            # encoded before a column existed fill it with NULLs; output
+            # always matches the declared schema order
+            if tbl.column_names == [n for n, _t in target]:
+                return tbl
+            cols = [tbl.column(n) if n in tbl.column_names
+                    else pa.nulls(tbl.num_rows, t) for n, t in target]
+            return pa.table(dict(zip([n for n, _t in target], cols)))
+
         for batch in batches:
             for path in batch.column(0).to_pylist():
                 pid = int(os.path.basename(path)[5:10])
@@ -1003,9 +1033,10 @@ def decode_table(spark: SparkSession, out_dir: str,
                     if wanted is not None and chunk_id not in wanted:
                         off += block_span(buf, off)   # pruned: header walk
                     else:
-                        tbl, used = decode_block(buf, off, columns=columns)
+                        tbl, used = decode_block(buf, off, columns=columns,
+                                                 missing_ok=True)
                         off += used
-                        yield from tbl.to_batches()
+                        yield from conform(tbl).to_batches()
                     chunk_id += 1
 
     if not paths:

@@ -579,3 +579,41 @@ def test_manifest_stats_metadata_only(spark, tmp_path):
     s_s = stats["s"]
     assert s_s["min_str"] == "s0" and s_s["max_str"] == "s8"
     assert s_s["sum_int"] is None
+
+
+def test_schema_evolution_compact_and_decode(spark, tmp_path):
+    """Additive evolution: epoch 1 lacks a column epoch 2 has; compaction
+    merges to the union schema and old blocks decode the new column as
+    NULL; predicates on the evolved column behave correctly."""
+    from supersonic_spark.pipeline import (EncodeConfig, compact_blocks,
+                                           decode_table, encode_table)
+    d1, d2 = str(tmp_path / "v1"), str(tmp_path / "v2")
+    cfg = EncodeConfig(n_partitions=2, chunk_rows=128, conv_key="cid",
+                       order_key="i", sort_keys=("cid", "i"))
+    rows1 = [(f"c{i % 9}", i, f"t{i}") for i in range(600)]
+    rows2 = [(f"c{i % 9}", i, f"t{i}", i % 40) for i in range(600, 1000)]
+    encode_table(spark, spark.createDataFrame(
+        rows1, "cid string, i int, text string"), d1, cfg, fingerprint="v1")
+    encode_table(spark, spark.createDataFrame(
+        rows2, "cid string, i int, text string, score int"), d2, cfg,
+        fingerprint="v2")
+    out = str(tmp_path / "evolved")
+    compact_blocks(spark, [d1, d2], out, group_size=3)
+    dec = decode_table(spark, out)
+    assert dec.columns == ["cid", "i", "text", "score"]
+    assert dec.count() == 1000
+    assert dec.filter(F.col("score").isNull()).count() == 600  # old epoch
+    got = {r["i"]: r["score"] for r in
+           dec.filter(F.col("i") >= 600).collect()}
+    assert got == {i: i % 40 for i in range(600, 1000)}
+    # range predicate on the evolved column: nulls (old rows) drop out
+    hi = decode_table(spark, out, columns=["i"], predicate=("score", 30, 39))
+    want = sorted(i for i in range(600, 1000) if 30 <= i % 40 <= 39)
+    assert sorted(r["i"] for r in hi.collect()) == want
+    # type conflict is rejected
+    d3 = str(tmp_path / "v3")
+    encode_table(spark, spark.createDataFrame(
+        [("x", 1, "t", 0.5)], "cid string, i int, text string, score double"),
+        d3, cfg, fingerprint="v3")
+    with pytest.raises(ValueError, match="type conflict"):
+        compact_blocks(spark, [out, d3], str(tmp_path / "bad"))
