@@ -979,7 +979,12 @@ def decode_table(spark: SparkSession, out_dir: str,
     widened outward). An equality lookup is the (col, v, v) range; when
     the table was encoded with that column in EncodeConfig.bloom_cols,
     per-chunk bloom filters additionally prune chunks whose min/max span
-    the value(s) — the point/IN-lookup path for non-sort columns."""
+    the value(s) — the point/IN-lookup path for non-sort columns.
+    Int/string predicates are additionally evaluated INSIDE the decode
+    kernel (late materialization): predicate columns decode first, a
+    chunk with zero matches never decodes its remaining columns, and
+    non-matching rows never cross the Python->JVM boundary; float/
+    datetime predicates rely on the Spark residual filter only."""
     with open(os.path.join(out_dir, "meta.json")) as f:
         meta = json.load(f)
     schema = StructType.fromJson(meta["spark_schema"])
@@ -1005,9 +1010,24 @@ def decode_table(spark: SparkSession, out_dir: str,
                     if p.endswith(".ssb"))
              if os.path.isdir(blk_dir) else [])
 
+    # kernel-safe predicates: int/string bounds are exact in Arrow (same
+    # binary/UTF-8 order as Spark), so they can be evaluated INSIDE the
+    # decode kernel — late materialization: the cheap predicate columns
+    # decode first, chunks with zero matches never decode their text, and
+    # non-matching rows never cross the Python->JVM boundary. Float and
+    # datetime predicates stay Spark-side only (residual filter), so
+    # semantics are always Spark's.
+    def _kernel_safe(p):
+        vals = p[1] if len(p) == 2 else p[1:]
+        return all(isinstance(v, (int, str)) and not isinstance(v, bool)
+                   for v in vals)
+    ksafe = [p for p in predicates if _kernel_safe(p)]
+    pred_cols = sorted({p[0] for p in ksafe})
+
     def decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from .runtime import pin_worker_threads
         pin_worker_threads()
+        import pyarrow.compute as pc
         from .codecs import block_span
         from pyspark.sql.pandas.types import to_arrow_type
         target = [(f.name, to_arrow_type(f.dataType)) for f in schema.fields]
@@ -1022,6 +1042,21 @@ def decode_table(spark: SparkSession, out_dir: str,
                     else pa.nulls(tbl.num_rows, t) for n, t in target]
             return pa.table(dict(zip([n for n, _t in target], cols)))
 
+        def kmask(ptbl: pa.Table):
+            m = None
+            for p in ksafe:
+                col = ptbl.column(p[0])
+                if len(p) == 2:
+                    c = pc.is_in(col, value_set=pa.array(p[1])
+                                 .cast(col.type))
+                else:
+                    c = pc.and_kleene(
+                        pc.greater_equal(col, pa.scalar(p[1])
+                                         .cast(col.type)),
+                        pc.less_equal(col, pa.scalar(p[2]).cast(col.type)))
+                m = c if m is None else pc.and_kleene(m, c)
+            return pc.fill_null(m, False)
+
         for batch in batches:
             for path in batch.column(0).to_pylist():
                 pid = int(os.path.basename(path)[5:10])
@@ -1032,12 +1067,34 @@ def decode_table(spark: SparkSession, out_dir: str,
                 while off < len(buf):
                     if wanted is not None and chunk_id not in wanted:
                         off += block_span(buf, off)   # pruned: header walk
-                    else:
-                        tbl, used = decode_block(buf, off, columns=columns,
-                                                 missing_ok=True)
-                        off += used
-                        yield from conform(tbl).to_batches()
+                        chunk_id += 1
+                        continue
+                    if ksafe:
+                        try:
+                            # phase 1: predicate columns only
+                            ptbl, span = decode_block(buf, off,
+                                                      columns=pred_cols)
+                            mask = kmask(ptbl)
+                            if not pc.any(mask).as_py():
+                                off += span        # chunk has no matches:
+                                chunk_id += 1      # text never decoded
+                                continue
+                            full, _ = decode_block(buf, off, columns=columns,
+                                                   missing_ok=True)
+                            off += span
+                            chunk_id += 1
+                            yield from conform(full).filter(mask).to_batches()
+                            continue
+                        except (KeyError, pa.lib.ArrowInvalid,
+                                pa.lib.ArrowNotImplementedError):
+                            pass   # e.g. evolved block lacking the pred
+                            # column, or an uncastable literal: fall back
+                            # to full decode + Spark residual filter
+                    tbl, used = decode_block(buf, off, columns=columns,
+                                             missing_ok=True)
+                    off += used
                     chunk_id += 1
+                    yield from conform(tbl).to_batches()
 
     if not paths:
         out = spark.createDataFrame([], schema)

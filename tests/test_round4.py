@@ -617,3 +617,27 @@ def test_schema_evolution_compact_and_decode(spark, tmp_path):
         d3, cfg, fingerprint="v3")
     with pytest.raises(ValueError, match="type conflict"):
         compact_blocks(spark, [out, d3], str(tmp_path / "bad"))
+
+
+def test_mixed_kernel_and_spark_predicates(spark, tmp_path):
+    """Conjunction mixing a kernel-evaluated int predicate with a
+    Spark-side datetime predicate: exact results either way."""
+    import datetime as _dt
+    from supersonic_spark.datagen import generate_transcripts
+    from supersonic_spark.pipeline import (EncodeConfig, decode_table,
+                                           encode_table)
+    df = generate_transcripts(spark, n_convs=40, seed=21)
+    out = str(tmp_path / "enc_mixed")
+    encode_table(spark, df, out, EncodeConfig(n_partitions=3, chunk_rows=128),
+                 fingerprint="mixed")
+    lo_hi = df.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    mid = lo_hi["lo"] + (lo_hi["hi"] - lo_hi["lo"]) / 2
+    preds = [("turn_idx", 1, 4), ("ts", lo_hi["lo"], mid)]
+    dec = decode_table(spark, out, columns=["conv_id", "turn_idx", "ts"],
+                       predicate=preds)
+    want = sorted((r["conv_id"], r["turn_idx"]) for r in
+                  df.filter(F.col("turn_idx").between(1, 4)
+                            & F.col("ts").between(lo_hi["lo"], mid))
+                  .select("conv_id", "turn_idx").collect())
+    got = sorted((r["conv_id"], r["turn_idx"]) for r in dec.collect())
+    assert got == want and len(got) > 0
