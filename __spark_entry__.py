@@ -1209,6 +1209,32 @@ def q_codec_stats_agg(spark, sf):
             .orderBy("col_name"))
 
 
+def q_codec_roundtrip_embeddings(spark, sf):
+    """Native VECTOR-column codec (vec_bss): embeddings ride the codec
+    stack as list<float32> — flattened float32 byte planes (bss layout,
+    lz4-friendly) plus a 5-byte fixed-dim shape header per chunk —
+    instead of being exploded to scalars. Only raw bit patterns move, so
+    NaN/Inf/-0.0 round-trip exactly; the gate unnests the DECODED
+    vectors for the DuckDB oracle."""
+    import pyarrow as pa
+
+    def rt(batches):
+        from supersonic_spark.runtime import pin_worker_threads
+        pin_worker_threads()
+        from supersonic_spark.codecs import decode_block, encode_block
+        from supersonic_spark.selector import choose_codecs
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            buf = encode_block(tbl, choose_codecs(tbl, entropy="lz4"),
+                               entropy="lz4")
+            out, _ = decode_block(buf)
+            yield from out.to_batches()
+
+    e = _t(spark, sf, "embeddings").repartition(4)
+    dec = e.mapInArrow(rt, schema=e.schema)
+    return dec.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+
+
 def q_codec_selection_report(spark, sf):
     """Lineage view: which codec the auto-selector picks per column of
     the documents table, per partition (rows-only check)."""
@@ -1506,6 +1532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_compaction": q_codec_compaction,
         "ann_ivf_topk_indexed": q_ann_ivf_topk_indexed,
         "codec_stats_agg": q_codec_stats_agg,
+        "codec_roundtrip_embeddings": q_codec_roundtrip_embeddings,
         # --- twice-driver-proven relational set (rounds 1-3) ---
         "scan_project": q_scan_project,
         "compute_expr": q_compute_expr,

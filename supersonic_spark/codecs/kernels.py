@@ -34,6 +34,7 @@ _I64 = struct.Struct("<q")
 
 T_INT32, T_INT64, T_FLOAT32, T_FLOAT64, T_BOOL = 3, 4, 5, 6, 7
 T_STRING, T_BINARY, T_TIMESTAMP_US, T_DATE32, T_TIMESTAMP_NS = 8, 9, 10, 11, 12
+T_VECF32 = 13   # list<float32> — embedding columns
 
 _NUMPY_OF = {
     T_INT32: np.dtype("<i4"), T_INT64: np.dtype("<i8"),
@@ -76,6 +77,12 @@ def typecode_of(typ: pa.DataType) -> int:
         raise ValueError(f"only timestamp[us]/[ns] supported, got {typ}")
     if pa.types.is_date32(typ):
         return T_DATE32
+    if (pa.types.is_list(typ) or pa.types.is_large_list(typ)
+            or pa.types.is_fixed_size_list(typ)):
+        if pa.types.is_float32(typ.value_type):
+            return T_VECF32
+        raise ValueError(f"only list<float32> vector columns supported, "
+                         f"got {typ}")
     raise ValueError(f"unsupported arrow type for codecs: {typ}")
 
 
@@ -531,6 +538,65 @@ def decode_xor_bss(buf: bytes, n: int, typecode: int) -> pa.Array:
     return _from_numpy(u.view(_NUMPY_OF[typecode]), typecode)
 
 
+# --- vector (embedding) codec -------------------------------------------------
+
+def encode_vec_bss(arr: pa.Array, typecode: int) -> bytes:
+    """list<float32> vector codec (embedding columns):
+        [u8 mode][mode 0: u32 dim | mode 1: u64 len + lengths block]
+        [u64 n_flat][byte planes of the flattened float32 values]
+    mode 0 is the fixed-dim fast path (embeddings in practice): the shape
+    costs 5 bytes per CHUNK. Values reuse the bit-exact byte-stream-split
+    planes (same layout as bss), so the entropy outer stage compresses
+    the clustered sign/exponent planes; NaN/Inf/-0.0 round-trip exactly
+    because only raw bit patterns move."""
+    if typecode != T_VECF32:
+        raise ValueError("vec_bss requires list<float32>")
+    import pyarrow.compute as pc
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if not pa.types.is_list(arr.type):
+        arr = arr.cast(pa.list_(pa.float32()))
+    n = len(arr)
+    lengths = np.asarray(pc.list_value_length(arr), dtype=np.int64)
+    flat_arr = arr.flatten()
+    if flat_arr.null_count:
+        raise ValueError("vec_bss: NULL elements inside vectors are not "
+                         "supported (whole-vector NULLs are)")
+    flat = np.asarray(flat_arr, dtype="<f4")
+    n_flat = int(lengths.sum()) if n else 0
+    assert n_flat == len(flat)
+    fixed = n == 0 or int(lengths.min()) == int(lengths.max())
+    if fixed:
+        head = bytes([0]) + struct.pack("<I",
+                                        int(lengths[0]) if n else 0)
+    else:
+        lens_blk = pack_ints_block(lengths)
+        head = bytes([1]) + _U64.pack(len(lens_blk)) + lens_blk
+    planes = _byte_planes(flat.view("<u4"))
+    return head + _U64.pack(n_flat) + planes
+
+
+def decode_vec_bss(buf: bytes, n: int, typecode: int) -> pa.Array:
+    mode = buf[0]
+    if mode == 0:
+        dim = struct.unpack_from("<I", buf, 1)[0]
+        lengths = np.full(n, dim, dtype=np.int64)
+        off = 5
+    else:
+        blen = _U64.unpack_from(buf, 1)[0]
+        lengths, _ = unpack_ints_block(buf, 9)
+        lengths = np.asarray(lengths, dtype=np.int64)
+        off = 9 + blen
+    n_flat = _U64.unpack_from(buf, off)[0]
+    off += 8
+    flat = _unsplit_planes(buf[off:], n_flat, np.dtype("<u4")).view("<f4")
+    offs64 = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offs64[1:])
+    return pa.ListArray.from_arrays(
+        pa.array(offs64.astype(np.int32), type=pa.int32()),
+        pa.array(flat, type=pa.float32()))
+
+
 # --- token-dictionary text codec ----------------------------------------------
 
 def encode_tokdict(arr: pa.Array, typecode: int) -> bytes:
@@ -579,6 +645,7 @@ CODEC_IDS = {
     "plain": 0, "constant": 1, "dict": 2, "rle": 3,
     "for_bitpack": 4, "delta_bitpack": 5, "fsst": 6, "tokdict": 7,
     "fixedpoint": 8, "bss": 9, "xor_bss": 10, "pfor_delta": 11,
+    "vec_bss": 12,
 }
 CODEC_NAMES = {v: k for k, v in CODEC_IDS.items()}
 
@@ -586,13 +653,13 @@ _ENCODERS = {
     0: encode_plain, 1: encode_constant, 2: encode_dict, 3: encode_rle,
     4: encode_for_bitpack, 5: encode_delta_bitpack, 6: encode_fsst,
     7: encode_tokdict, 8: encode_fixedpoint, 9: encode_bss, 10: encode_xor_bss,
-    11: encode_pfor_delta,
+    11: encode_pfor_delta, 12: encode_vec_bss,
 }
 _DECODERS = {
     0: decode_plain, 1: decode_constant, 2: decode_dict, 3: decode_rle,
     4: decode_for_bitpack, 5: decode_delta_bitpack, 6: decode_fsst,
     7: decode_tokdict, 8: decode_fixedpoint, 9: decode_bss, 10: decode_xor_bss,
-    11: decode_pfor_delta,
+    11: decode_pfor_delta, 12: decode_vec_bss,
 }
 
 

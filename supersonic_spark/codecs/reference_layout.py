@@ -64,6 +64,13 @@ def reference_column_size(arr: pa.Array) -> int:
         size += 8 * n + int(lengths.sum())
     elif pa.types.is_boolean(typ):
         size += n  # reference stores bool as 1 byte per value in blocks
+    elif (pa.types.is_list(typ) or pa.types.is_large_list(typ)
+          or pa.types.is_fixed_size_list(typ)):
+        # vector column: 8-byte length per row + element bytes (the
+        # reference's varlen layout generalized to typed vectors)
+        import pyarrow.compute as pc
+        n_elems = int(pc.sum(pc.list_value_length(arr)).as_py() or 0)
+        size += 8 * n + (typ.value_type.bit_width // 8) * n_elems
     else:
         size += typ.bit_width // 8 * n
     return size

@@ -1122,3 +1122,10 @@ SELECT 'user_id', count(*), count(user_id),
 FROM events
 ORDER BY col_name
 """
+
+ORACLES["codec_roundtrip_embeddings"] = """
+SELECT vec_id,
+       CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+       unnest(embedding) AS val
+FROM embeddings
+"""

@@ -163,6 +163,14 @@ def choose_codec(arr: pa.Array | pa.ChunkedArray,
     """Decision rules -> codec name. Deterministic given the chunk."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    t = arr.type
+    if (pa.types.is_list(t) or pa.types.is_large_list(t)
+            or pa.types.is_fixed_size_list(t)):
+        typecode_of(t)   # validates list<float32>; raises otherwise
+        # vector columns: one codec (plane-split values + tiny shape
+        # header); run/cardinality stats are meaningless on embeddings
+        return "vec_bss", ColumnStats(len(arr), len(arr), 1.0, 8.0,
+                                      0.0, 0, 0)
     typecode = typecode_of(arr.type)
     st = stats or column_stats(arr)
     dense = arr.drop_null() if arr.null_count else arr

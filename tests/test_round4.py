@@ -641,3 +641,47 @@ def test_mixed_kernel_and_spark_predicates(spark, tmp_path):
                   .select("conv_id", "turn_idx").collect())
     got = sorted((r["conv_id"], r["turn_idx"]) for r in dec.collect())
     assert got == want and len(got) > 0
+
+
+def test_vec_bss_codec_roundtrip_bitexact():
+    """Native list<float32> vector codec: bit-exact incl. NaN/Inf/-0.0,
+    whole-vector NULLs, varlen lists, empty chunks; null ELEMENTS
+    rejected loudly; selector picks vec_bss for list<float32>."""
+    import numpy as np
+    import pyarrow as pa
+    import supersonic_spark.codecs as C
+    from supersonic_spark.selector import choose_codecs
+
+    rng = np.random.RandomState(0)
+    vecs = [list(map(float, rng.normal(0, 1, 16))) for _ in range(100)]
+    vecs[3] = [float("nan"), float("inf"), -0.0] + [0.0] * 13
+    vecs[50] = None
+    emb = pa.array(vecs, pa.list_(pa.float32()))
+    tbl = pa.table({"vec_id": pa.array(range(100), pa.int64()),
+                    "embedding": emb})
+    codecs = choose_codecs(tbl)
+    assert codecs["embedding"] == "vec_bss"
+    buf = C.encode_block(tbl, codecs, entropy="lz4")
+    out, _ = C.decode_block(buf)
+    b = out.column("embedding").combine_chunks()
+    assert b[50].as_py() is None
+    raw_a = np.asarray(emb.drop_null().flatten(), dtype="<f4").tobytes()
+    raw_b = np.asarray(b.drop_null().flatten(), dtype="<f4").tobytes()
+    assert raw_a == raw_b          # bit patterns, incl. NaN/-0.0
+    assert len(buf) < C.reference_column_size(emb) + \
+        C.reference_column_size(tbl.column("vec_id").combine_chunks())
+
+    # varlen + empty list
+    varr = pa.array([[1.5] * k for k in (3, 5, 0, 7)], pa.list_(pa.float32()))
+    t2 = pa.table({"v": varr})
+    o2, _ = C.decode_block(C.encode_block(t2, choose_codecs(t2)))
+    assert o2.column("v").combine_chunks().to_pylist() == varr.to_pylist()
+
+    # null elements inside a vector are rejected, not silently mangled
+    bad = pa.table({"v": pa.array([[1.0, None]], pa.list_(pa.float32()))})
+    with pytest.raises(ValueError, match="NULL elements"):
+        C.encode_block(bad, choose_codecs(bad))
+
+    # projection still skips the vector frame by length arithmetic
+    proj, _ = C.decode_block(buf, columns=["vec_id"])
+    assert proj.column_names == ["vec_id"]
