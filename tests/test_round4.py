@@ -685,3 +685,32 @@ def test_vec_bss_codec_roundtrip_bitexact():
     # projection still skips the vector frame by length arithmetic
     proj, _ = C.decode_block(buf, columns=["vec_id"])
     assert proj.column_names == ["vec_id"]
+
+
+def test_pipeline_encode_vector_column(spark, tmp_path):
+    """A table with an embedding column goes through the full block
+    pipeline (encode_table -> blocks -> decode_table) with vec_bss."""
+    import numpy as np
+    from supersonic_spark.pipeline import (EncodeConfig, decode_table,
+                                           encode_table)
+    rng = np.random.RandomState(5)
+    rows = [(i, f"s{i % 4}", [float(x) for x in rng.normal(0, 1, 12)])
+            for i in range(800)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, src string, embedding array<float>")
+    out = str(tmp_path / "enc_vec")
+    cfg = EncodeConfig(n_partitions=3, chunk_rows=128, conv_key="src",
+                       order_key="vec_id", sort_keys=("src", "vec_id"))
+    man = encode_table(spark, df, out, cfg, fingerprint="vec")
+    assert (man.filter(F.col("column") == "embedding")
+            .select("codec").distinct().collect()[0][0]
+            .startswith("vec_bss"))
+    dec = decode_table(spark, out)
+    got = {r["vec_id"]: r["embedding"] for r in dec.collect()}
+    for i, _s, v in rows:
+        assert got[i] == [np.float32(x) for x in v]
+    # projection skips the heavy vector frames
+    ids = decode_table(spark, out, columns=["vec_id"],
+                       predicate=("src", "s1", "s1"))
+    assert sorted(r["vec_id"] for r in ids.collect()) == \
+        [i for i in range(800) if i % 4 == 1]
