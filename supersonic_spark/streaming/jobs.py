@@ -55,7 +55,7 @@ def streaming_encode_sink(spark: SparkSession, stream: DataFrame,
 
 
 def decode_stream(spark: SparkSession, out_dir: str,
-                  schema=None) -> DataFrame:
+                  schema=None, columns: list[str] | None = None) -> DataFrame:
     """Streaming DECODE source — the reader half of
     streaming_encode_sink: watch `out_dir` (recursively, e.g. the
     sink's epoch=N/blocks dirs) for new .ssb block files and decode
@@ -63,7 +63,10 @@ def decode_stream(spark: SparkSession, out_dir: str,
     so Structured Streaming's own file tracking provides the
     exactly-once-per-file guarantee; decoding stays in the same Arrow
     kernel as batch decode_table. Pass `schema` (StructType or DDL) or
-    let it load from the first epoch's meta.json."""
+    let it load from the first epoch's meta.json. `columns` projects at
+    the BLOCK layer, same as batch decode_table — unneeded column frames
+    (text, typically) are skipped by length arithmetic in the streaming
+    reader too."""
     import glob as _glob
     import json as _json
     import os as _os
@@ -75,6 +78,16 @@ def decode_stream(spark: SparkSession, out_dir: str,
             raise ValueError("no meta.json under out_dir yet; pass schema=")
         with open(metas[0]) as f:
             schema = StructType.fromJson(_json.load(f)["spark_schema"])
+    if isinstance(schema, str):
+        from pyspark.sql.types import _parse_datatype_string
+        schema = _parse_datatype_string(schema)
+    if columns is not None:
+        missing = [c for c in columns if c not in schema.names]
+        if missing:
+            raise KeyError(f"columns {missing} not in stream schema "
+                           f"{schema.names}")
+        schema = StructType([f for f in schema.fields
+                             if f.name in set(columns)])
 
     src = (spark.readStream.format("binaryFile")
            # file streaming sources demand an explicit schema; binaryFile's
@@ -94,7 +107,10 @@ def decode_stream(spark: SparkSession, out_dir: str,
                 buf = blob.as_py()
                 off = 0
                 while off < len(buf):
-                    t, used = _db(buf, off)
+                    # strict (no missing_ok): a block lacking a projected
+                    # column should fail as a clean KeyError, not a
+                    # schema-arity mismatch deep in the Arrow bridge
+                    t, used = _db(buf, off, columns=columns)
                     off += used
                     yield from t.to_batches()
 

@@ -132,3 +132,32 @@ def test_decode_block_projection_property(data):
     for c in cols:
         assert out.column(c).combine_chunks().equals(
             tbl.column(c).combine_chunks()), c
+
+
+@given(st.lists(
+    st.one_of(st.none(),
+              st.lists(st.floats(width=32, allow_nan=True,
+                                 allow_infinity=True),
+                       max_size=24)),
+    max_size=80))
+@settings(max_examples=60, deadline=None)
+def test_vec_bss_roundtrip_property(vecs):
+    """Property: any list<float32> column (NULL vectors, empty vectors,
+    varying lengths, NaN/Inf/-0.0) round-trips BIT-exactly through the
+    vec_bss block path."""
+    import numpy as np
+    import pyarrow as pa
+    from supersonic_spark.codecs import decode_block, encode_block
+    from supersonic_spark.selector import choose_codecs
+    arr = pa.array(vecs, pa.list_(pa.float32()))
+    tbl = pa.table({"v": arr})
+    out, _ = decode_block(encode_block(tbl, choose_codecs(tbl),
+                                       entropy="lz4"))
+    b = out.column("v").combine_chunks()
+    assert len(b) == len(arr)
+    for i in range(len(arr)):
+        if not arr[i].is_valid:
+            assert not b[i].is_valid
+    raw_a = np.asarray(arr.drop_null().flatten(), dtype="<f4").tobytes()
+    raw_b = np.asarray(b.drop_null().flatten(), dtype="<f4").tobytes()
+    assert raw_a == raw_b

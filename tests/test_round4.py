@@ -714,3 +714,36 @@ def test_pipeline_encode_vector_column(spark, tmp_path):
                        predicate=("src", "s1", "s1"))
     assert sorted(r["vec_id"] for r in ids.collect()) == \
         [i for i in range(800) if i % 4 == 1]
+
+
+def test_decode_stream_projection(spark, tmp_path):
+    """decode_stream(columns=...) projects at the block layer — the
+    streaming reader only decodes the requested frames."""
+    from supersonic_spark.datagen import generate_transcripts
+    from supersonic_spark.streaming import (decode_stream,
+                                            streaming_encode_sink)
+    src_dir = str(tmp_path / "src_p")
+    df = generate_transcripts(spark, n_convs=30, seed=4, mega_every=0)
+    df.write.mode("overwrite").parquet(src_dir)
+    enc_dir = str(tmp_path / "enc_p")
+    stream = (spark.readStream.schema(spark.read.parquet(src_dir).schema)
+              .parquet(src_dir))
+    q = streaming_encode_sink(spark, stream, enc_dir,
+                              str(tmp_path / "ck_p")).start()
+    q.awaitTermination(120)
+
+    sink = str(tmp_path / "out_p")
+    q2 = (decode_stream(spark, enc_dir, columns=["conv_id", "turn_idx"])
+          .writeStream.format("parquet").option("path", sink)
+          .option("checkpointLocation", str(tmp_path / "ck_p2"))
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    out = spark.read.parquet(sink)
+    assert out.columns == ["conv_id", "turn_idx"]
+    assert out.count() == df.count()
+    got = sorted((r["conv_id"], r["turn_idx"]) for r in out.collect())
+    want = sorted((r["conv_id"], r["turn_idx"]) for r in
+                  df.select("conv_id", "turn_idx").collect())
+    assert got == want
+    with pytest.raises(KeyError):
+        decode_stream(spark, enc_dir, columns=["nope"])
