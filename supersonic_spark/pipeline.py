@@ -67,18 +67,58 @@ MANIFEST_SCHEMA = StructType([
 ])
 
 
+_SPLITMIX_C1, _SPLITMIX_C2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+_GOLDEN64 = 0x9E3779B97F4A7C15
+_MASK64 = (1 << 64) - 1
+
+
+def _splitmix64(x: int) -> int:
+    x = (x + _GOLDEN64) & _MASK64
+    x = ((x ^ (x >> 30)) * _SPLITMIX_C1) & _MASK64
+    x = ((x ^ (x >> 27)) * _SPLITMIX_C2) & _MASK64
+    return x ^ (x >> 31)
+
+
 def _bloom_hash2(v) -> tuple[int, int]:
-    """Two independent 64-bit hashes of a value's canonical string form
-    (double hashing generates the k probe positions). blake2b keeps the
-    build (worker) and probe (driver/executor) bit-identical everywhere."""
-    d = hashlib.blake2b(str(v).encode(), digest_size=16).digest()
-    return (int.from_bytes(d[:8], "little"), int.from_bytes(d[8:], "little"))
+    """Two 64-bit hashes of a value's canonical string form (double
+    hashing generates the k probe positions). crc32 + adler32 (both C
+    speed) mixed through splitmix64 — ~25x faster per value than a
+    cryptographic hash, and bloom quality only affects FALSE POSITIVES
+    (extra chunk decodes), never correctness. Build (worker) and probe
+    (driver/executor) share this exact function."""
+    b = str(v).encode()
+    x = (zlib.crc32(b) << 32) | zlib.adler32(b)
+    h1 = _splitmix64(x)
+    h2 = _splitmix64(h1 ^ ((len(b) * _GOLDEN64) & _MASK64))
+    return h1, h2
+
+
+_BLOOM_MAX_BITS = 1 << 20           # 128 KiB/chunk-column hard cap
+_BLOOM_BITS_PER_KEY = 12            # ~0.3% FPR at the sized load
+
+
+def _splitmix64_np(x):
+    import numpy as np
+    x = x + np.uint64(_GOLDEN64)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(_SPLITMIX_C1)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(_SPLITMIX_C2)
+    return x ^ (x >> np.uint64(31))
 
 
 def _bloom_build(col, n_bits: int, k: int) -> str | None:
     """Base64 bloom (k byte + bitset) over a chunk's distinct values;
-    string/int columns only (float repr is not canonical across engines)."""
+    string/int columns only (float repr is not canonical across engines).
+
+    n_bits is a MINIMUM: the bitset auto-grows (powers of two, capped at
+    _BLOOM_MAX_BITS) to ~12 bits per distinct value, because a
+    fixed-size bloom silently saturates into a keep-everything filter on
+    high-cardinality chunks (a 64k-row chunk can carry 64k distinct
+    keys). The blob is self-describing (size = len), so mixed sizes
+    coexist in one manifest. Bit positions are computed vectorized in
+    uint64 numpy; _bloom_member's scalar math agrees because the size is
+    a power of two (mod 2^64 then mask == exact mod)."""
     import base64
+    import numpy as np
     import pyarrow.compute as pc
     t = col.type
     if not (pa.types.is_string(t) or pa.types.is_large_string(t)
@@ -87,13 +127,23 @@ def _bloom_build(col, n_bits: int, k: int) -> str | None:
     vals = [v for v in pc.unique(col).to_pylist() if v is not None]
     if not vals:
         return None
-    bits = bytearray((n_bits + 7) // 8)
-    for v in vals:
-        h1, h2 = _bloom_hash2(v)
-        for i in range(k):
-            p = (h1 + i * h2) % n_bits
-            bits[p >> 3] |= 1 << (p & 7)
-    return base64.b64encode(bytes([k]) + bytes(bits)).decode()
+    n_bits_eff = 1 << max((n_bits - 1).bit_length(), 3)
+    while (n_bits_eff < _BLOOM_BITS_PER_KEY * len(vals)
+           and n_bits_eff < _BLOOM_MAX_BITS):
+        n_bits_eff <<= 1
+
+    enc = [str(v).encode() for v in vals]
+    x = np.fromiter(((zlib.crc32(b) << 32) | zlib.adler32(b) for b in enc),
+                    dtype=np.uint64, count=len(enc))
+    ln = np.fromiter((len(b) for b in enc), dtype=np.uint64, count=len(enc))
+    h1 = _splitmix64_np(x)
+    h2 = _splitmix64_np(h1 ^ (ln * np.uint64(_GOLDEN64)))
+    kk = np.arange(k, dtype=np.uint64)
+    pos = ((h1[:, None] + kk[None, :] * h2[:, None])
+           & np.uint64(n_bits_eff - 1)).astype(np.int64).ravel()
+    bits = np.zeros(n_bits_eff >> 3, dtype=np.uint8)
+    np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+    return base64.b64encode(bytes([k]) + bits.tobytes()).decode()
 
 
 def _bloom_member(value, blob: bytes) -> bool:
