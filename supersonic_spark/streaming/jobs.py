@@ -160,7 +160,9 @@ def running_sum_stream(stream: DataFrame, key_col: str, order_col: str,
 
 def dedup_stream(stream: DataFrame, hash_col: str,
                  payload_cols: list[str],
-                 order_col: str | None = None) -> DataFrame:
+                 order_col: str | None = None,
+                 horizon_ms: int | None = None,
+                 event_time_col: str | None = None) -> DataFrame:
     """Streaming exact dedup: emit only the FIRST row ever seen per
     hash_col value; later arrivals (same batch or any later batch) are
     dropped. applyInPandasWithState keeps one boolean of state per
@@ -169,26 +171,50 @@ def dedup_stream(stream: DataFrame, hash_col: str,
     dropDuplicates would need the full history every run. Within a
     micro-batch the representative is the order_col-minimal row when
     order_col is given (deterministic), else the first delivered row.
-    State is O(1) per distinct document; add a watermark-based timeout
-    upstream if the dedup horizon is bounded."""
+
+    State is O(1) per distinct document and, with horizon_ms +
+    event_time_col, BOUNDED: the stream must carry a watermark
+    (withWatermark upstream), and a hash's state is dropped via
+    EventTimeTimeout once the watermark passes horizon_ms beyond its
+    LAST-SEEN event time — a duplicate arriving after the horizon is
+    treated as new (re-emitted). That is the standard bounded-memory
+    contract for infinite streams: exact dedup inside the horizon,
+    state size O(distinct hashes per horizon)."""
     import pandas as pd  # noqa: F401 (worker-side)
+    if (horizon_ms is None) != (event_time_col is None):
+        raise ValueError("horizon_ms and event_time_col go together")
     fields = {f.name: f.dataType.simpleString() for f in stream.schema.fields}
     cols = [hash_col] + [c for c in payload_cols if c != hash_col]
     out_schema = ", ".join(f"{c} {fields[c]}" for c in cols)
 
     def fn(key, pdfs, state):
+        if horizon_ms is not None and state.hasTimedOut:
+            state.remove()        # horizon passed: forget the hash
+            return
         seen = state.exists
+        last_ms = 0
         for pdf in pdfs:
-            if seen or len(pdf) == 0:
+            if len(pdf) == 0:
+                continue
+            if horizon_ms is not None:
+                last_ms = max(last_ms,
+                              int(pdf[event_time_col].max().value // 10**6))
+            if seen:
                 continue
             seen = True
             if order_col is not None:
                 pdf = pdf.sort_values(order_col)
             yield pdf[cols].head(1)
         state.update((True,))
+        if horizon_ms is not None:
+            # timeout anchors to the hash's last-seen EVENT time; must
+            # stay ahead of the current watermark or Spark rejects it
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(last_ms + horizon_ms, wm + 1))
 
     return (stream.groupBy(hash_col)
-            .applyInPandasWithState(fn, outputStructType=out_schema,
-                                    stateStructType="seen boolean",
-                                    outputMode="append",
-                                    timeoutConf="NoTimeout"))
+            .applyInPandasWithState(
+                fn, outputStructType=out_schema,
+                stateStructType="seen boolean", outputMode="append",
+                timeoutConf=("EventTimeTimeout" if horizon_ms is not None
+                             else "NoTimeout")))

@@ -747,3 +747,48 @@ def test_decode_stream_projection(spark, tmp_path):
     assert got == want
     with pytest.raises(KeyError):
         decode_stream(spark, enc_dir, columns=["nope"])
+
+
+def test_dedup_stream_bounded_horizon(spark, tmp_path):
+    """With horizon_ms the dedup state is bounded by event time: a
+    duplicate inside the horizon is dropped, one arriving after the
+    watermark passes the horizon is re-emitted as new."""
+    import datetime as _dt
+    from supersonic_spark.streaming import dedup_stream
+    base = _dt.datetime(2024, 5, 1, 12, 0, 0)
+    hour = _dt.timedelta(hours=1)
+    # slice 0: A,B at T0. slice 1: A again at T0+1h (inside the 2h
+    # horizon -> dropped) + C. slice 2: D at T0+6h (watermark is still
+    # T0+1h here — computed from the PREVIOUS batch). slice 3: E at
+    # T0+6h30 — the watermark is now T0+6h, past A's T0+3h horizon, and
+    # A has NO data in this batch, so its state times out and is
+    # removed (timeouts only fire for keys without new data). slice 4:
+    # A again at T0+7h -> fresh state -> re-emitted.
+    slices = [
+        [("A", base, 0), ("B", base, 1)],
+        [("A", base + hour, 2), ("C", base + hour, 3)],
+        [("D", base + 6 * hour, 4)],
+        [("E", base + 6 * hour + hour / 2, 5)],
+        [("A", base + 7 * hour, 6)],
+    ]
+    import time as _time
+    src = str(tmp_path / "ttl_src")
+    for k, rows in enumerate(slices):
+        spark.createDataFrame(rows, "h string, ts timestamp, ord int") \
+             .coalesce(1).write.mode("overwrite").parquet(f"{src}/s={k}")
+        _time.sleep(1.1)
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("recursiveFileLookup", "true")
+              .option("maxFilesPerTrigger", 1).parquet(src)
+              .withWatermark("ts", "0 seconds"))
+    out = dedup_stream(stream, "h", ["h", "ord"], order_col="ord",
+                       horizon_ms=2 * 3600 * 1000, event_time_col="ts")
+    q = (out.writeStream.format("memory").queryName("ttl_dd")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = sorted((r["h"], r["ord"]) for r in
+                 spark.sql("SELECT * FROM ttl_dd").collect())
+    # A emitted twice (ord 0 fresh + ord 6 after expiry), B/C/D/E once
+    assert got == [("A", 0), ("A", 6), ("B", 1), ("C", 3),
+                   ("D", 4), ("E", 5)], got
