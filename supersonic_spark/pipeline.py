@@ -1108,14 +1108,19 @@ def decode_table(spark: SparkSession, out_dir: str,
             return pc.fill_null(m, False)
 
         for batch in batches:
-            for path in batch.column(0).to_pylist():
+            for path, lo_c, hi_c in zip(batch.column(0).to_pylist(),
+                                        batch.column(1).to_pylist(),
+                                        batch.column(2).to_pylist()):
                 pid = int(os.path.basename(path)[5:10])
                 wanted = None if keep is None else keep.get(pid, set())
                 with open(path, "rb") as f:
                     buf = f.read()
                 off, chunk_id = 0, 0
                 while off < len(buf):
-                    if wanted is not None and chunk_id not in wanted:
+                    if chunk_id >= hi_c:
+                        break                   # past this task's range
+                    if chunk_id < lo_c or (wanted is not None
+                                           and chunk_id not in wanted):
                         off += block_span(buf, off)   # pruned: header walk
                         chunk_id += 1
                         continue
@@ -1149,9 +1154,33 @@ def decode_table(spark: SparkSession, out_dir: str,
     if not paths:
         out = spark.createDataFrame([], schema)
     else:
-        pdf = spark.createDataFrame([(p,) for p in paths], "path string")
-        out = (pdf.repartition(len(paths), "path")
-                  .mapInArrow(decode, schema=schema))
+        par = spark.sparkContext.defaultParallelism
+        ranges = [(p, 0, 1 << 30) for p in paths]
+        if len(paths) < par:
+            # few big files (post-compaction) would serialize decode on
+            # one task each — split into chunk ranges so every core gets
+            # work. Range tasks walk headers to their start (cheap) and
+            # whole-file reads dedup through the OS page cache.
+            mdir = os.path.join(out_dir, "manifest")
+            if os.path.isdir(mdir):
+                cnt = {int(r["partition_id"]): int(r["n"]) for r in
+                       spark.read.parquet(mdir).groupBy("partition_id")
+                       .agg((F.max("chunk_id") + 1).alias("n")).collect()}
+                total = sum(cnt.values())
+                if total:
+                    step = max(1, total // max(2 * par, len(paths)))
+                    ranges = []
+                    for p in paths:
+                        n = cnt.get(int(os.path.basename(p)[5:10]))
+                        if not n:
+                            ranges.append((p, 0, 1 << 30))
+                            continue
+                        for s in range(0, n, step):
+                            ranges.append((p, s, min(s + step, n)))
+        pdf = spark.createDataFrame(
+            spark.sparkContext.parallelize(ranges, numSlices=len(ranges)),
+            schema="path string, lo int, hi int")
+        out = pdf.mapInArrow(decode, schema=schema)
     for pred in predicates:
         if len(pred) == 2:
             out = out.filter(F.col(pred[0]).isin(*pred[1]))

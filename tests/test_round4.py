@@ -792,3 +792,31 @@ def test_dedup_stream_bounded_horizon(spark, tmp_path):
     # A emitted twice (ord 0 fresh + ord 6 after expiry), B/C/D/E once
     assert got == [("A", 0), ("A", 6), ("B", 1), ("C", 3),
                    ("D", 4), ("E", 5)], got
+
+
+def test_chunk_range_parallel_decode(spark, tmp_path):
+    """Compacted (few, big) block files decode across chunk-range tasks
+    instead of one task per file — same rows, more partitions."""
+    from supersonic_spark.pipeline import (EncodeConfig, compact_blocks,
+                                           decode_table, encode_table)
+    rows = [(f"c{i % 50:03d}", i, f"txt {i}") for i in range(20000)]
+    df = spark.createDataFrame(rows, "cid string, i int, text string")
+    d1 = str(tmp_path / "src1")
+    cfg = EncodeConfig(n_partitions=8, chunk_rows=256, conv_key="cid",
+                       order_key="i", sort_keys=("cid", "i"))
+    encode_table(spark, df, d1, cfg, fingerprint="rs")
+    out = str(tmp_path / "one_file")
+    compact_blocks(spark, [d1], out, group_size=64)   # -> 1 big file
+    import os as _os
+    n_files = len([p for p in _os.listdir(out + "/blocks")
+                   if p.endswith(".ssb")])
+    assert n_files == 1
+    dec = decode_table(spark, out)
+    assert dec.rdd.getNumPartitions() > n_files   # split into ranges
+    got = sorted((r["cid"], r["i"]) for r in dec.collect())
+    assert got == sorted((c, i) for c, i, _t in rows)
+    # predicates still compose with range splitting
+    sub = decode_table(spark, out, columns=["i"], predicate=("cid", "c007",
+                                                             "c007"))
+    assert sorted(r["i"] for r in sub.collect()) == \
+        [i for i in range(20000) if i % 50 == 7]
