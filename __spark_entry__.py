@@ -1408,6 +1408,40 @@ def q_tpch_q4_priority_check(spark, sf):
             .orderBy("o_orderpriority"))
 
 
+def q_tpch_q7_volume_shipping(spark, sf):
+    """Q7 shape (volume shipping): 5-way join — lineitem against
+    supplier, orders, customer and nation twice (supplier-side and
+    customer-side), symmetric nation-pair filter, yearly revenue rollup.
+    Catalyst broadcasts every dim (nation/supplier/customer are tiny vs
+    the fact); revenue stays integer cents."""
+    li = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n1 = (_t(spark, sf, "nation")
+          .select(F.col("n_nationkey").alias("s_nk"),
+                  F.col("n_name").alias("supp_nation")))
+    n2 = (_t(spark, sf, "nation")
+          .select(F.col("n_nationkey").alias("c_nk"),
+                  F.col("n_name").alias("cust_nation")))
+    a, b = "NATION_1", "NATION_2"
+    j = (li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+         .join(o, li.l_orderkey == o.o_orderkey)
+         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+         .join(F.broadcast(n1), s.s_nationkey == n1.s_nk)
+         .join(F.broadcast(n2), c.c_nationkey == n2.c_nk)
+         .filter(((F.col("supp_nation") == a) & (F.col("cust_nation") == b))
+                 | ((F.col("supp_nation") == b)
+                    & (F.col("cust_nation") == a))))
+    return (j.groupBy("supp_nation", "cust_nation",
+                      F.year("l_shipdate").alias("yr"))
+            .agg(F.sum(_cents(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount"))))
+                 .alias("sum_cents"),
+                 F.count("*").alias("n"))
+            .orderBy("supp_nation", "cust_nation", "yr"))
+
+
 def q_tpch_q18_large_orders(spark, sf):
     """Q18 shape: customers with orders whose lineitem quantity sum
     exceeds a threshold — groupBy+HAVING feeding a 3-way join, then a
@@ -1533,6 +1567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk_indexed": q_ann_ivf_topk_indexed,
         "codec_stats_agg": q_codec_stats_agg,
         "codec_roundtrip_embeddings": q_codec_roundtrip_embeddings,
+        "tpch_q7_volume_shipping": q_tpch_q7_volume_shipping,
         # --- twice-driver-proven relational set (rounds 1-3) ---
         "scan_project": q_scan_project,
         "compute_expr": q_compute_expr,

@@ -1129,3 +1129,23 @@ SELECT vec_id,
        unnest(embedding) AS val
 FROM embeddings
 """
+
+ORACLES["tpch_q7_volume_shipping"] = """
+SELECT supp_nation, cust_nation, yr,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents, count(*) AS n
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INTEGER) AS yr,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+              AS BIGINT) AS cents
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY supp_nation, cust_nation, yr
+ORDER BY supp_nation, cust_nation, yr
+"""
