@@ -200,14 +200,18 @@ def _lloyd_step(df: DataFrame, centroids: list[list[float]],
     partials = (df.select(vec_col)
                   .mapInArrow(run, schema="cell int, psum array<double>, "
                                           "cnt long"))
-    sums = (partials.select("cell", "cnt",
+    # ONE job over the quantizer scan: each partial row carries its cnt
+    # once per exploded pos, so sum(cnt) per (cell, pos) IS the cell's
+    # total count (identical for every pos of a cell). Folding it into
+    # the same agg avoids a second full scan of the uncached mapInArrow
+    # plan — and guarantees sums and counts come from the same pass.
+    rows = (partials.select("cell", "cnt",
                             F.posexplode("psum").alias("pos", "v"))
-            .groupBy("cell", "pos").agg(F.sum("v").alias("s")).collect())
-    cnts = partials.groupBy("cell").agg(F.sum("cnt").alias("n")).collect()
-    n_by_cell = {r["cell"]: int(r["n"]) for r in cnts}
+            .groupBy("cell", "pos").agg(F.sum("v").alias("s"),
+                                        F.sum("cnt").alias("n")).collect())
     new = np.array(c)                  # empty cells keep their seed
-    for r in sums:
-        new[r["cell"], r["pos"]] = r["s"] / n_by_cell[r["cell"]]
+    for r in rows:
+        new[r["cell"], r["pos"]] = r["s"] / int(r["n"])
     return [list(map(float, row)) for row in new]
 
 

@@ -67,6 +67,13 @@ MANIFEST_SCHEMA = StructType([
 ])
 
 
+# Manifest-stats contract version. 2 = timestamp zone maps normalized to
+# ns-since-epoch + vsum_int/n_nulls columns present (the current contract);
+# manifests without the marker AND without those columns predate the ns
+# normalization, so their datetime zone maps are raw Arrow-unit int64 (µs
+# from Spark's transfer) and must not be zone-pruned with ns bounds.
+STATS_VERSION = 2
+
 _SPLITMIX_C1, _SPLITMIX_C2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
 _GOLDEN64 = 0x9E3779B97F4A7C15
 _MASK64 = (1 << 64) - 1
@@ -594,6 +601,12 @@ def encode_table(spark: SparkSession, df: DataFrame, out_dir: str,
         "n_partitions": cfg.n_partitions,
         "chunk_rows": cfg.chunk_rows,
         "sort_keys": list(cfg.sort_keys),
+        # zone-map unit contract: >=2 means timestamp zone maps are
+        # ns-since-epoch (see _zone_stats / STATS_VERSION); absent means a
+        # pre-upgrade manifest whose datetime stats are raw Arrow-unit
+        # int64 (µs) — _pruned_chunks must not zone-prune datetime
+        # predicates against those
+        "stats_version": STATS_VERSION,
     }
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(meta, f, indent=1)
@@ -691,6 +704,7 @@ def encode_table_prebucketed(spark: SparkSession, input_dir: str,
         "chunk_rows": cfg.chunk_rows,
         "sort_keys": list(cfg.sort_keys),
         "prebucketed": True,
+        "stats_version": STATS_VERSION,
     }
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(meta, f, indent=1)
@@ -699,8 +713,11 @@ def encode_table_prebucketed(spark: SparkSession, input_dir: str,
     if per_file_fingerprint:
         def _ffp(p):
             st = os.stat(p)
+            # nanosecond mtime: a bucket file rewritten within the same
+            # second with unchanged size (deterministic re-bucketize)
+            # must NOT resume stale blocks
             blob = (f"{cfg_hash}:{os.path.basename(p)}:{st.st_size}:"
-                    f"{int(st.st_mtime)}").encode()
+                    f"{st.st_mtime_ns}").encode()
             return hashlib.md5(blob).hexdigest()[:12]
         fps = {p: _ffp(p) for p in paths}
     else:
@@ -808,6 +825,9 @@ def compact_blocks(spark: SparkSession, src_dirs: list[str], out_dir: str,
     meta["spark_schema"] = merged_schema
     meta["n_partitions"] = len(groups)
     meta["compacted_from"] = len(entries)
+    # a compaction mixing any pre-upgrade source inherits the weakest
+    # stats contract — datetime zone pruning then stays disabled for it
+    meta["stats_version"] = min(m.get("stats_version", 0) for m in metas)
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(meta, f, indent=1)
 
@@ -908,22 +928,47 @@ def _normalize_predicates(predicate) -> list[tuple]:
     return out
 
 
-def _bound_ns(v, widen: int):
+def _bound_ns(v, widen: int, tz=None):
     """Datetime/date bound -> ns-since-epoch (the unit _zone_stats
     normalizes timestamp zone maps to), widened OUTWARD by one second in
     the `widen` direction (-1 for lower bounds, +1 for upper) so timezone
     /float rounding in the conversion can only ever keep extra chunks —
     the residual filter re-applies the exact predicate after decode.
-    Numbers/strings pass through unchanged."""
+    Numbers/strings pass through unchanged.
+
+    NAIVE datetimes are wall times in the SPARK SESSION timezone (that is
+    what the exact residual filter compares under), so the caller passes
+    the session tz as a tzinfo; with tz=None a naive bound is widened by
+    the full ±26h tz-offset envelope instead — pruning weakens but can
+    never drop a chunk the residual filter would keep. Aware datetimes
+    are exact instants either way."""
     import datetime as _dt
     if isinstance(v, _dt.datetime):
+        if v.tzinfo is None:
+            if tz is not None:
+                v = v.replace(tzinfo=tz)
+            else:
+                # unknown session tz: cover every real-world offset
+                widen = widen * 26 * 3600
         ns = int(v.timestamp()) * 10 ** 9 + v.microsecond * 10 ** 3
         return ns + widen * 10 ** 9
     if isinstance(v, _dt.date):
         epoch_days = (v - _dt.date(1970, 1, 1)).days
-        # cover the bound's whole day, then one day outward
+        # cover the bound's whole day, then one day outward — a full day
+        # of widening already covers any session-tz offset (max ±14h)
         return (epoch_days + (1 if widen > 0 else 0) + widen) * 86_400 * 10 ** 9
     return v
+
+
+def _session_tz(spark: SparkSession):
+    """The Spark session timezone as a tzinfo, or None if unresolvable
+    (callers then widen naive bounds by the full offset envelope)."""
+    try:
+        from zoneinfo import ZoneInfo
+        name = spark.conf.get("spark.sql.session.timeZone")
+        return ZoneInfo(name) if name else None
+    except Exception:
+        return None
 
 
 def _bloom_filter_chunks(man_sel: DataFrame, values: list) -> DataFrame:
@@ -932,24 +977,62 @@ def _bloom_filter_chunks(man_sel: DataFrame, values: list) -> DataFrame:
     manifest so blobs are probed executor-side — at 10^12-turn scale the
     manifest is itself a big table and the blobs must never be
     collected."""
+    hashes = [_bloom_hash2(v) for v in values]
+
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import base64
+        import numpy as np
         for batch in batches:
             tbl = pa.Table.from_batches([batch])
-            pids = tbl.column("partition_id").to_pylist()
-            cids = tbl.column("chunk_id").to_pylist()
+            pids = tbl.column("partition_id")
+            cids = tbl.column("chunk_id")
             blobs = tbl.column("bloom_b64").to_pylist()
-            kp, kc = [], []
-            for p, c, b in zip(pids, cids, blobs):
-                if b is not None:
-                    blob = base64.b64decode(b)
-                    if not any(_bloom_member(v, blob) for v in values):
-                        continue
-                kp.append(p)
-                kc.append(c)
-            yield pa.RecordBatch.from_pydict({
-                "partition_id": pa.array(kp, pa.int32()),
-                "chunk_id": pa.array(kc, pa.int32())})
+            n = len(blobs)
+            keep_mask = np.zeros(n, dtype=bool)
+            has = np.fromiter((b is not None for b in blobs), bool, count=n)
+            keep_mask[~has] = True            # no bloom recorded = keep
+            rows = np.nonzero(has)[0]
+            if len(rows):
+                # decode every blob once, concatenate the bitsets, and
+                # probe ALL rows per value with batched bit-index gathers
+                # — a (rows x k) numpy gather per value instead of a
+                # per-row Python loop (manifest rows number in the
+                # millions at 10^12-turn scale)
+                raw = [base64.b64decode(blobs[i]) for i in rows]
+                k_arr = np.fromiter((b[0] for b in raw), np.uint64,
+                                    count=len(raw))
+                lens = np.fromiter((len(b) - 1 for b in raw), np.int64,
+                                   count=len(raw))
+                offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                concat = np.frombuffer(b"".join(b[1:] for b in raw),
+                                       dtype=np.uint8)
+                nbits_mask = (lens.astype(np.uint64) << np.uint64(3)) \
+                    - np.uint64(1)            # n_bits is a power of two
+                kmax = int(k_arr.max())
+                ii = np.arange(kmax, dtype=np.uint64)
+                sub_keep = np.zeros(len(rows), dtype=bool)
+                for h1, h2 in hashes:
+                    rem = np.nonzero(~sub_keep)[0]
+                    if not len(rem):
+                        break
+                    # mod-2^64 wraparound then power-of-two mask == the
+                    # scalar probe's exact (h1 + i*h2) % n_bits
+                    hh = np.uint64(h1) + ii * np.uint64(h2)      # (k,)
+                    p = hh[None, :] & nbits_mask[rem, None]      # (r, k)
+                    byte_idx = offs[rem, None] + (p >> np.uint64(3)) \
+                        .astype(np.int64)
+                    hit = (concat[byte_idx]
+                           & (np.uint8(1) << (p & np.uint64(7))
+                              .astype(np.uint8))) != 0
+                    # probes past a row's own k don't exist: treat as set
+                    ok = hit | (ii[None, :] >= k_arr[rem, None])
+                    sub_keep[rem[ok.all(axis=1)]] = True
+                keep_mask[rows[sub_keep]] = True
+            sel = pa.array(keep_mask)
+            yield pa.RecordBatch.from_arrays(
+                [pids.filter(sel).combine_chunks().cast(pa.int32()),
+                 cids.filter(sel).combine_chunks().cast(pa.int32())],
+                ["partition_id", "chunk_id"])
 
     return (man_sel.select("partition_id", "chunk_id", "bloom_b64")
             .mapInArrow(run, schema="partition_id int, chunk_id int"))
@@ -964,12 +1047,56 @@ def _pruned_chunks(spark: SparkSession, out_dir: str,
     gate. Returns None when no manifest exists. Driver-side: O(#chunks)
     tiny rows; for extreme chunk counts push the same overlap filter
     into a join against the block scan instead."""
+    sels = _pred_survivor_dfs(spark, out_dir, predicates)
+    if sels is None:
+        return None
+    keep: dict[int, set] | None = None
+    for sel in sels:
+        rows = sel.select("partition_id", "chunk_id").distinct().collect()
+        this: dict[int, set] = {}
+        for r in rows:
+            this.setdefault(r["partition_id"], set()).add(r["chunk_id"])
+        if keep is None:
+            keep = this
+        else:  # conjunction: a chunk survives only if every range allows it
+            keep = {pid: keep[pid] & cs for pid, cs in this.items()
+                    if pid in keep}
+            keep = {pid: cs for pid, cs in keep.items() if cs}
+    # None = no predicate could use stats (e.g. datetime predicates on a
+    # pre-upgrade manifest): decode everything. {} = stats genuinely rule
+    # out every chunk.
+    return keep
+
+
+def _pred_survivor_dfs(spark: SparkSession, out_dir: str,
+                       predicates: list[tuple]) -> list[DataFrame] | None:
+    """One (partition_id, chunk_id) survivor DataFrame per usable
+    predicate — shared by the driver-side set path (_pruned_chunks) and
+    the join path (_pruned_chunks_df). None when there is no manifest or
+    no predicate can use the stats."""
     mpath = os.path.join(out_dir, "manifest")
     if not os.path.isdir(mpath):
         return None
     man = spark.read.parquet(mpath)
-    keep: dict[int, set] | None = None
+    tz = _session_tz(spark)
+    # pre-upgrade manifests (no stats_version marker and none of the
+    # columns that shipped with the ns normalization) store datetime zone
+    # maps in raw Arrow units (µs) — comparing ns bounds against them
+    # would prune EVERY chunk and silently return zero rows, so datetime
+    # predicates simply don't prune there (residual filter stays exact)
+    try:
+        with open(os.path.join(out_dir, "meta.json")) as f:
+            _meta = json.load(f)
+    except OSError:
+        _meta = {}
+    ns_stats = (_meta.get("stats_version", 0) >= 2
+                or "vsum_int" in man.columns or "n_nulls" in man.columns)
+    import datetime as _dt
+    sels: list[DataFrame] = []
     for pred in predicates:
+        bound0 = pred[1][0] if len(pred) == 2 else pred[1]
+        if isinstance(bound0, (_dt.date, _dt.datetime)) and not ns_stats:
+            continue
         if len(pred) == 2:      # membership: union of point lookups
             pcol, values = pred
             lo, hi = values[0], values[-1]          # sorted by normalize
@@ -986,8 +1113,9 @@ def _pruned_chunks(spark: SparkSession, out_dir: str,
         # datetime/date bounds -> the ns-since-epoch unit _zone_stats
         # normalizes timestamp zone maps to, widened outward (a raw
         # timestamp literal would compare in epoch SECONDS and silently
-        # prune every chunk)
-        lo, hi = _bound_ns(lo, -1), _bound_ns(hi, +1)
+        # prune every chunk); naive bounds resolve in the SESSION tz —
+        # the same clock the residual filter compares under
+        lo, hi = _bound_ns(lo, -1, tz), _bound_ns(hi, +1, tz)
         vmin = F.col("vmin_str") if is_str else F.col("vmin_num")
         vmax = F.col("vmax_str") if is_str else F.col("vmax_num")
         keep_cond = (vmin.isNull() | vmax.isNull()
@@ -998,22 +1126,33 @@ def _pruned_chunks(spark: SparkSession, out_dir: str,
             # blobs never reach the driver — only surviving ids do); a
             # chunk survives if ANY member may be present
             sel = _bloom_filter_chunks(sel, bloom_values)
-        rows = sel.select("partition_id", "chunk_id").distinct().collect()
-        this: dict[int, set] = {}
-        for r in rows:
-            this.setdefault(r["partition_id"], set()).add(r["chunk_id"])
-        if keep is None:
-            keep = this
-        else:  # conjunction: a chunk survives only if every range allows it
-            keep = {pid: keep[pid] & cs for pid, cs in this.items()
-                    if pid in keep}
-            keep = {pid: cs for pid, cs in keep.items() if cs}
-    return keep or {}
+        sels.append(sel.select("partition_id", "chunk_id").distinct())
+    return sels or None
+
+
+def _pruned_chunks_df(spark: SparkSession, out_dir: str,
+                      predicates: list[tuple]) -> DataFrame | None:
+    """JOIN-path twin of _pruned_chunks for EXTREME chunk counts: the
+    surviving (partition_id, chunk_id) ids never reach the driver.
+    Per-predicate survivor sets intersect via inner joins (conjunction),
+    then collapse to one row per partition carrying its surviving chunk
+    ids as an array — the decode task list joins against this on
+    partition_id, so a partition pruned to zero chunks never even
+    schedules a task. Returns (partition_id int, wanted array<int>), or
+    None when stats are unusable (decode everything)."""
+    from functools import reduce
+    sels = _pred_survivor_dfs(spark, out_dir, predicates)
+    if sels is None:
+        return None
+    surv = reduce(lambda a, b: a.join(b, ["partition_id", "chunk_id"]), sels)
+    return (surv.groupBy("partition_id")
+            .agg(F.collect_set("chunk_id").alias("wanted")))
 
 
 def decode_table(spark: SparkSession, out_dir: str,
                  columns: list[str] | None = None,
-                 predicate: tuple | None = None) -> DataFrame:
+                 predicate: tuple | None = None,
+                 join_prune_threshold: int = 200_000) -> DataFrame:
     """Stream block files back into a DataFrame (schema from meta.json).
 
     columns: project at the BLOCK layer — unneeded column frames are
@@ -1053,8 +1192,25 @@ def decode_table(spark: SparkSession, out_dir: str,
                            f"{schema.names}")
         schema = StructType([f for f in schema.fields
                              if f.name in set(columns)])
-    keep = (_pruned_chunks(spark, out_dir, predicates)
-            if predicates else None)
+    # chunk pruning: below join_prune_threshold estimated chunks the
+    # surviving ids collect to the driver as tiny sets (one closure, no
+    # extra join); above it they stay distributed — the survivor DF joins
+    # against the decode task list so the driver never materializes
+    # O(#chunks) state (at 10^12-turn scale the manifest itself is big)
+    keep: dict[int, set] | None = None
+    wanted_df = None
+    if predicates:
+        mdir = os.path.join(out_dir, "manifest")
+        big = False
+        if os.path.isdir(mdir):
+            r = (spark.read.parquet(mdir)
+                 .agg(F.count("*").alias("n"),
+                      F.countDistinct("column").alias("c")).collect()[0])
+            big = (r["n"] // max(r["c"], 1)) > join_prune_threshold
+        if big:
+            wanted_df = _pruned_chunks_df(spark, out_dir, predicates)
+        else:
+            keep = _pruned_chunks(spark, out_dir, predicates)
     blk_dir = os.path.join(out_dir, "blocks")
     paths = (sorted(os.path.join(blk_dir, p) for p in os.listdir(blk_dir)
                     if p.endswith(".ssb"))
@@ -1108,11 +1264,19 @@ def decode_table(spark: SparkSession, out_dir: str,
             return pc.fill_null(m, False)
 
         for batch in batches:
-            for path, lo_c, hi_c in zip(batch.column(0).to_pylist(),
-                                        batch.column(1).to_pylist(),
-                                        batch.column(2).to_pylist()):
+            # join-path pruning ships each task's surviving chunk ids as a
+            # 4th column; the small-manifest path closes over `keep`
+            wlists = (batch.column(3).to_pylist()
+                      if batch.num_columns > 3 else None)
+            for i, (path, lo_c, hi_c) in enumerate(
+                    zip(batch.column(0).to_pylist(),
+                        batch.column(1).to_pylist(),
+                        batch.column(2).to_pylist())):
                 pid = int(os.path.basename(path)[5:10])
-                wanted = None if keep is None else keep.get(pid, set())
+                if wlists is not None:
+                    wanted = set(wlists[i]) if wlists[i] is not None else None
+                else:
+                    wanted = None if keep is None else keep.get(pid, set())
                 with open(path, "rb") as f:
                     buf = f.read()
                 off, chunk_id = 0, 0
@@ -1180,6 +1344,19 @@ def decode_table(spark: SparkSession, out_dir: str,
         pdf = spark.createDataFrame(
             spark.sparkContext.parallelize(ranges, numSlices=len(ranges)),
             schema="path string, lo int, hi int")
+        if wanted_df is not None:
+            # distributed pruning: inner-join the task list against the
+            # surviving-chunk arrays on the partition id parsed from the
+            # file name — fully-pruned partitions drop out of the task
+            # list here, before any task is scheduled
+            pid_expr = F.substring(
+                F.element_at(F.split(F.col("path"), "/"), -1),
+                6, 5).cast("int")
+            # no forced broadcast: AQE picks one when the survivor side is
+            # small; at extreme chunk counts the arrays stay executor-side
+            pdf = (pdf.withColumn("partition_id", pid_expr)
+                   .join(wanted_df, "partition_id")
+                   .select("path", "lo", "hi", "wanted"))
         out = pdf.mapInArrow(decode, schema=schema)
     for pred in predicates:
         if len(pred) == 2:

@@ -138,18 +138,20 @@ def running_sum_stream(stream: DataFrame, key_col: str, order_col: str,
     def fn(key, pdfs, state):
         import pandas as pd
         total = state.get[0] if state.exists else 0
-        outs = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(order_col)
+        # applyInPandasWithState delivers one key's micro-batch rows as
+        # MULTIPLE pandas chunks (~10k rows each); buffer and sort ONCE so
+        # the cumulative sum follows order_col across the whole batch —
+        # per-chunk sorting would sum in chunk-delivery order for large
+        # groups and silently produce wrong running totals.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(order_col)
             sums = pdf[value_col].astype("int64").cumsum() + total
-            if len(sums):
-                total = int(sums.iloc[-1])
+            total = int(sums.iloc[-1])
             out = pdf[[key_col, order_col, value_col]].copy()
             out[out_col] = sums.astype("int64")
-            outs.append(out)
+            yield out
         state.update((total,))
-        if outs:
-            yield pd.concat(outs)
 
     return (stream.groupBy(key_col)
             .applyInPandasWithState(fn, outputStructType=out_schema,
@@ -188,23 +190,24 @@ def dedup_stream(stream: DataFrame, hash_col: str,
     out_schema = ", ".join(f"{c} {fields[c]}" for c in cols)
 
     def fn(key, pdfs, state):
+        import pandas as pd
         if horizon_ms is not None and state.hasTimedOut:
             state.remove()        # horizon passed: forget the hash
             return
         seen = state.exists
         last_ms = 0
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
+        # buffer ALL chunks before choosing the representative: a key's
+        # batch arrives as multiple pandas chunks, and the order_col-minimal
+        # row may live in a later chunk than the first non-empty one
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
             if horizon_ms is not None:
-                last_ms = max(last_ms,
-                              int(pdf[event_time_col].max().value // 10**6))
-            if seen:
-                continue
-            seen = True
-            if order_col is not None:
-                pdf = pdf.sort_values(order_col)
-            yield pdf[cols].head(1)
+                last_ms = int(pdf[event_time_col].max().value // 10**6)
+            if not seen:
+                if order_col is not None:
+                    pdf = pdf.sort_values(order_col)
+                yield pdf[cols].head(1)
         state.update((True,))
         if horizon_ms is not None:
             # timeout anchors to the hash's last-seen EVENT time; must

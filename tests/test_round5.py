@@ -1,0 +1,222 @@
+"""Round-5 regression tests: multi-chunk streaming state groups, the
+join-path chunk pruner, pre-upgrade manifest datetime-stat safety, the
+session-tz bound conversion, and nanosecond resume fingerprints."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _drain(spark, stream_df, name):
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+@pytest.fixture()
+def tiny_arrow_batches(spark):
+    """Force applyInPandasWithState to deliver each key's rows as MANY
+    pandas chunks (the >10k-rows-per-key shape, shrunk to test size)."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "7")
+    yield
+    spark.conf.set(key, old)
+
+
+def test_running_sum_stream_chunked_groups(spark, tmp_path,
+                                           tiny_arrow_batches):
+    """One key's micro-batch arrives as ~15 chunks of 7 rows, in an order
+    where sorting per chunk would give wrong cumulative sums; the kernel
+    must buffer + sort the whole batch per key."""
+    from pyspark.sql import Window
+    from supersonic_spark.streaming import running_sum_stream
+    # single batch, single key, rows written in REVERSED ord so every
+    # chunk's local sort differs from the global order
+    rows = [(1, 99 - i, (i * 7) % 23) for i in range(100)]
+    src = str(tmp_path / "rss_chunks")
+    spark.createDataFrame(rows, "k int, ord int, v long") \
+         .coalesce(1).write.mode("overwrite").parquet(src)
+    sschema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(sschema).parquet(src)
+    got = _drain(spark, running_sum_stream(stream, "k", "ord", "v"),
+                 "rss_chunked")
+    w = (Window.partitionBy("k").orderBy("ord")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    want = {(r["k"], r["ord"]): r["running_sum"]
+            for r in spark.read.parquet(src)
+            .withColumn("running_sum", F.sum("v").over(w)).collect()}
+    out = {(r["k"], r["ord"]): r["running_sum"] for r in got.collect()}
+    assert out == want and len(out) == 100
+
+
+def test_dedup_stream_chunked_representative(spark, tmp_path,
+                                             tiny_arrow_batches):
+    """The order_col-minimal representative lives in the LAST delivered
+    chunk (rows written descending by ord): a first-non-empty-chunk
+    representative would be wrong."""
+    from supersonic_spark.streaming import dedup_stream
+    rows = [("h0", 50 - i, f"p{50 - i}") for i in range(50)]  # ord 50..1
+    src = str(tmp_path / "dds_chunks")
+    spark.createDataFrame(rows, "h string, ord int, text string") \
+         .coalesce(1).write.mode("overwrite").parquet(src)
+    sschema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(sschema).parquet(src)
+    got = _drain(spark, dedup_stream(stream, "h", ["h", "ord", "text"],
+                                     order_col="ord"),
+                 "dds_chunked").collect()
+    assert len(got) == 1
+    assert got[0]["ord"] == 1 and got[0]["text"] == "p1"
+
+
+def _encode_fixture(spark, tmp_path, name, bloom=()):
+    from supersonic_spark.datagen import generate_transcripts
+    from supersonic_spark.pipeline import EncodeConfig, encode_table
+    src = generate_transcripts(spark, n_convs=300, seed=11)
+    out = str(tmp_path / name)
+    cfg = EncodeConfig(n_partitions=8, chunk_rows=512, bloom_cols=bloom)
+    encode_table(spark, src, out, cfg, fingerprint=name)
+    return src, out
+
+
+def test_join_prune_branch_matches_driver_path(spark, tmp_path):
+    """join_prune_threshold=0 forces the distributed survivor-join path;
+    results must match the driver-set path bit-for-bit, including bloom
+    point-lookup pruning."""
+    from supersonic_spark.pipeline import decode_table
+    src, out = _encode_fixture(spark, tmp_path, "join_prune",
+                               bloom=("conv_id",))
+    some = [r["conv_id"] for r in
+            src.select("conv_id").distinct().limit(3).collect()]
+    pred = ("conv_id", some)
+    a = decode_table(spark, out, predicate=pred)                  # driver
+    b = decode_table(spark, out, predicate=pred,
+                     join_prune_threshold=0)                      # join
+    key = ["conv_id", "turn_idx"]
+    rows_a = sorted(map(tuple, a.select(*key, "text").collect()))
+    rows_b = sorted(map(tuple, b.select(*key, "text").collect()))
+    assert rows_a == rows_b and len(rows_a) > 0
+    want = sorted(map(tuple, src.filter(F.col("conv_id").isin(some))
+                      .select(*key, "text").collect()))
+    assert rows_a == want
+
+
+def test_join_prune_range_predicate(spark, tmp_path):
+    """Join path with a numeric range predicate (no blooms involved)."""
+    from supersonic_spark.pipeline import decode_table
+    src, out = _encode_fixture(spark, tmp_path, "join_prune_rng")
+    pred = ("turn_idx", 0, 2)
+    b = decode_table(spark, out, predicate=pred, join_prune_threshold=0)
+    want = src.filter((F.col("turn_idx") >= 0) & (F.col("turn_idx") <= 2))
+    assert b.count() == want.count() > 0
+
+
+def _emulate_pre_upgrade_manifest(spark, out):
+    """Rewrite an encoded table's manifest/meta to the pre-upgrade
+    contract: no stats_version, no vsum_int/n_nulls/bloom_b64 columns,
+    timestamp zone maps in raw µs (what old manifests actually stored)."""
+    import json
+    mdir = os.path.join(out, "manifest")
+    man = spark.read.parquet(mdir).drop("vsum_int", "n_nulls", "bloom_b64")
+    man = man.withColumn(
+        "vmin_num", F.when(F.col("column") == "ts",
+                           F.col("vmin_num") / 1000).otherwise(F.col("vmin_num"))
+    ).withColumn(
+        "vmax_num", F.when(F.col("column") == "ts",
+                           F.col("vmax_num") / 1000).otherwise(F.col("vmax_num")))
+    tmp = mdir + "_old"
+    man.write.mode("overwrite").parquet(tmp)
+    import shutil
+    shutil.rmtree(mdir)
+    os.replace(tmp, mdir)
+    mpath = os.path.join(out, "meta.json")
+    with open(mpath) as f:
+        meta = json.load(f)
+    meta.pop("stats_version", None)
+    with open(mpath, "w") as f:
+        json.dump(meta, f)
+
+
+def test_datetime_predicate_on_pre_upgrade_manifest(spark, tmp_path):
+    """A datetime predicate against a manifest whose ts zone maps are in
+    µs (pre-upgrade) must NOT zone-prune (ns bounds vs µs stats would
+    silently drop every chunk); the residual filter keeps results exact.
+    Numeric predicates must still prune normally on the same manifest."""
+    from supersonic_spark.pipeline import decode_table
+    src, out = _encode_fixture(spark, tmp_path, "old_manifest")
+    _emulate_pre_upgrade_manifest(spark, out)
+
+    lo_hi = src.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")) \
+               .collect()[0]
+    lo, hi = lo_hi["lo"], lo_hi["hi"]
+    mid = lo + (hi - lo) / 2
+    want = src.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(mid)))
+    got = decode_table(spark, out, predicate=("ts", lo, mid))
+    assert got.count() == want.count() > 0
+
+    # numeric predicate still prunes + stays exact on the old manifest
+    got2 = decode_table(spark, out, predicate=("turn_idx", 0, 1))
+    want2 = src.filter(F.col("turn_idx") <= 1)
+    assert got2.count() == want2.count() > 0
+
+
+def test_datetime_predicate_current_manifest_prunes(spark, tmp_path):
+    """Sanity twin: on a CURRENT manifest the same datetime predicate
+    both prunes (stats_version present) and returns exact rows."""
+    from supersonic_spark.pipeline import decode_table
+    src, out = _encode_fixture(spark, tmp_path, "new_manifest")
+    lo = src.agg(F.min("ts")).collect()[0][0]
+    want = src.filter(F.col("ts") <= F.lit(lo))
+    got = decode_table(spark, out, predicate=("ts", lo, lo))
+    assert got.count() == want.count() > 0
+
+
+def test_bound_ns_session_tz():
+    """Naive datetime bounds resolve in the given session tz; unknown tz
+    widens by the full offset envelope (conservative, never over-prunes)."""
+    from zoneinfo import ZoneInfo
+    from supersonic_spark.pipeline import _bound_ns
+    naive = dt.datetime(2024, 6, 1, 12, 0, 0)
+    utc = ZoneInfo("UTC")
+    ny = ZoneInfo("America/New_York")
+    ns_utc = _bound_ns(naive, 0, utc)
+    ns_ny = _bound_ns(naive, 0, ny)
+    # New York is UTC-4 in June: the same wall time is 4h later as an instant
+    assert ns_ny - ns_utc == 4 * 3600 * 10 ** 9
+    # aware datetimes are exact regardless of tz argument
+    aware = naive.replace(tzinfo=utc)
+    assert _bound_ns(aware, 0, ny) == ns_utc
+    # unknown tz: lower bound sits >= 26h below any session-tz resolution
+    assert _bound_ns(naive, -1, None) <= ns_utc - 14 * 3600 * 10 ** 9
+    assert _bound_ns(naive, +1, None) >= ns_utc + 14 * 3600 * 10 ** 9
+
+
+def test_prebucketed_resume_detects_same_second_rewrite(spark, tmp_path):
+    """A bucket file touched with a sub-second mtime bump (same size,
+    same whole-second mtime) must re-encode, not resume stale blocks."""
+    from supersonic_spark.datagen import generate_transcripts
+    from supersonic_spark.pipeline import (EncodeConfig, bucketize_table,
+                                           encode_table_prebucketed)
+    src = generate_transcripts(spark, n_convs=120, seed=5)
+    bdir = str(tmp_path / "buckets")
+    bucketize_table(spark, src, bdir, n_buckets=4)
+    out = str(tmp_path / "enc_pb")
+    cfg = EncodeConfig(chunk_rows=2048)
+    m1 = encode_table_prebucketed(spark, bdir, out, cfg, fingerprint="r5")
+    assert m1.filter(F.col("resumed")).count() == 0
+    m2 = encode_table_prebucketed(spark, bdir, out, cfg, fingerprint="r5")
+    assert m2.filter(~F.col("resumed")).count() == 0     # clean resume
+
+    # same-second rewrite: bump mtime by ONE nanosecond only
+    f0 = sorted(p for p in os.listdir(bdir) if p.endswith(".parquet"))[0]
+    p0 = os.path.join(bdir, f0)
+    st = os.stat(p0)
+    os.utime(p0, ns=(st.st_atime_ns, st.st_mtime_ns + 1))
+    m3 = encode_table_prebucketed(spark, bdir, out, cfg, fingerprint="r5")
+    fresh = m3.filter(~F.col("resumed")).select("partition_id").distinct()
+    assert fresh.count() == 1                            # only that bucket
