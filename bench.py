@@ -43,10 +43,62 @@ def _sf_of(sf_dir: str) -> float:
         return 0.1
 
 
+def external_busy_cores(window_s: float = 2.0) -> float:
+    """Non-idle cores over a short quiescent window — load that is NOT
+    ours (same probe as tools/scaling_bench.py records per run)."""
+    def snap():
+        with open("/proc/stat") as f:
+            v = list(map(int, f.readline().split()[1:]))
+        return sum(v), v[3] + v[4]
+    t0, i0 = snap()
+    time.sleep(window_s)
+    t1, i1 = snap()
+    total, idle = t1 - t0, i1 - i0
+    n = os.cpu_count() or 1
+    return round(n * (1 - idle / max(total, 1)), 2)
+
+
+# Single-thread fixed-work probe reference, measured on this box under
+# low load (min-of-5, repeated; see BENCH/BASELINE.md round-5). The box's
+# documented throttle windows slow CPU work 2-4x with ZERO external load
+# visible in /proc/stat, so wall-clock alone can't prove a calm window —
+# a fixed-work probe can.
+_CPU_PROBE_REF_SEC = 0.283
+_CPU_PROBE_CALM_FACTOR = 1.35     # probe within this of ref => calm
+
+
+def cpu_probe_sec(iters: int = 5) -> float:
+    """Fixed single-thread numpy workload (integer mix + sort of 12M
+    uint64 — no BLAS, so thread-pool config can't skew it); min of
+    `iters` runs. Compare against _CPU_PROBE_REF_SEC to flag
+    throttle-poisoned headline runs."""
+    import numpy as np
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 2 ** 62, 12_000_000, dtype=np.uint64)
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        y = x * np.uint64(0x9E3779B97F4A7C15)
+        y ^= y >> np.uint64(30)
+        s = np.sort(y)
+        float(s[0])
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))
     sf = _sf_of(sf_dir)
+
+    # pre-registered calm-window probe: record BOTH external load and a
+    # fixed-work CPU check BEFORE any Spark work, so a throttle-poisoned
+    # headline artifact is self-identifying (this box throttles 2-4x with
+    # zero visible external load — see CLAUDE.md / VERDICT r4)
+    ext_before = external_busy_cores()
+    probe_before = cpu_probe_sec()
+    calm = (probe_before <= _CPU_PROBE_CALM_FACTOR * _CPU_PROBE_REF_SEC
+            and ext_before < 4.0)
 
     from supersonic_spark.session import get_spark
     spark = get_spark(cores=cpus)
@@ -142,12 +194,26 @@ def main():
     }
 
     total = round(sum(query_secs.values()), 3)
+    ext_after = external_busy_cores()
+
+    def _recorded(path):
+        """Load a campaign artifact, labeling it as RECORDED (not
+        measured by this run) with its source file + campaign mtime so a
+        reader of BENCH_r0N.json alone can't mistake it for fresh."""
+        if not os.path.exists(path):
+            return None, None
+        with open(path) as f:
+            data = json.load(f)
+        import datetime as _dt
+        stamp = _dt.datetime.fromtimestamp(
+            os.path.getmtime(path)).strftime("%Y-%m-%d %H:%M")
+        rel = os.path.relpath(path, os.path.dirname(os.path.abspath(__file__)))
+        return data, {"recorded_from": rel, "campaign_mtime": stamp}
+
+    here = os.path.dirname(os.path.abspath(__file__))
     scaling = None
-    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                "BENCH", "scaling.json")
-    if os.path.exists(scaling_path):
-        with open(scaling_path) as f:
-            s = json.load(f)
+    s, prov = _recorded(os.path.join(here, "BENCH", "scaling.json"))
+    if s is not None:
         scaling = {k: s[k] for k in ("scaling_efficiency",
                                      "median_pair_efficiency_all_2v8",
                                      "best_pair_efficiency_2v8",
@@ -156,12 +222,11 @@ def main():
                                      "median_turns_per_sec_low",
                                      "median_turns_per_sec_high",
                                      "cores_low", "cores_high") if k in s}
-    ann_kernel = None
-    ann_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "BENCH", "ann_kernel.json")
-    if os.path.exists(ann_path):
-        with open(ann_path) as f:
-            ann_kernel = json.load(f)
+        scaling.update(prov)
+    ann_kernel, prov = _recorded(os.path.join(here, "BENCH",
+                                              "ann_kernel.json"))
+    if ann_kernel is not None:
+        ann_kernel.update(prov)
 
     print(json.dumps({
         "metric": "headline suite wall-clock (queries + transcript encode)",
@@ -170,6 +235,12 @@ def main():
         "queries": query_secs,
         "sf": sf,
         "encode": encode_stats,
+        # calm-window provenance for THIS run's measurements
+        "ext_busy_cores_before": ext_before,
+        "ext_busy_cores_after": ext_after,
+        "cpu_probe_sec": probe_before,
+        "cpu_probe_ref_sec": _CPU_PROBE_REF_SEC,
+        "calm": calm,
         "scaling": scaling,
         "ann_kernel": ann_kernel,
     }))
