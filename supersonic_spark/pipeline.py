@@ -971,67 +971,122 @@ def _session_tz(spark: SparkSession):
         return None
 
 
+def _b64_lut():
+    import numpy as np
+    t = np.zeros(256, dtype=np.uint32)
+    alphabet = ("ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+                "abcdefghijklmnopqrstuvwxyz0123456789+/")
+    for i, c in enumerate(alphabet):
+        t[ord(c)] = i
+    return t
+
+
+_B64_LUT = _b64_lut()
+
+
+def _b64_byte_gather(data, starts, group_idx, byte_in_group):
+    """Decoded byte extraction straight out of base64 TEXT: decoded byte
+    j lives in 4-char group j//3 at offset j%3; one vectorized LUT gather
+    per char. Lets the bloom probe read only the handful of bytes each
+    probe position touches — probe cost independent of blob size."""
+    import numpy as np
+    base = starts + np.int64(4) * group_idx
+    word = ((_B64_LUT[data[base]] << np.uint32(18))
+            | (_B64_LUT[data[base + 1]] << np.uint32(12))
+            | (_B64_LUT[data[base + 2]] << np.uint32(6))
+            | _B64_LUT[data[base + 3]])
+    shift = (np.uint32(16) - np.uint32(8) * byte_in_group.astype(np.uint32))
+    return ((word >> shift) & np.uint32(0xFF)).astype(np.uint8)
+
+
+def bloom_probe_b64(arr: "pa.Array | pa.ChunkedArray",
+                    values: list) -> "object":
+    """Vectorized membership probe over a base64 bloom column: bool numpy
+    mask, True where the chunk MAY contain any of `values` (NULL blob =
+    no stats = True). Never materializes the decoded blobs — per probe
+    position it gathers the single 4-char base64 group holding the target
+    byte (LUT decode), so cost is O(rows x values x k) gathers regardless
+    of bitset size. Bit math matches _bloom_member exactly (power-of-two
+    sizes: mod-2^64 wraparound + mask == exact mod)."""
+    import numpy as np
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.offset != 0:                    # normalize sliced arrays
+        arr = pa.concat_arrays([arr])
+    n = len(arr)
+    keep_mask = np.zeros(n, dtype=bool)
+    if n == 0:
+        return keep_mask
+    validity = np.asarray(arr.is_valid())
+    keep_mask[~validity] = True            # no bloom recorded = keep
+    rows = np.nonzero(validity)[0]
+    if not len(rows):
+        return keep_mask
+    off_dtype = (np.int64 if pa.types.is_large_string(arr.type)
+                 else np.int32)
+    offsets = np.frombuffer(arr.buffers()[1], dtype=off_dtype,
+                            count=n + 1).astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    starts = offsets[rows]
+    ends = offsets[rows + 1]
+    lens = ends - starts                   # base64 chars, always 4-aligned
+    pad = ((data[ends - 1] == ord("=")).astype(np.int64)
+           + (data[ends - 2] == ord("=")).astype(np.int64))
+    dec_len = (lens // 4) * 3 - pad        # bytes: 1 header + bitset
+    nbits_mask = ((dec_len - 1).astype(np.uint64) << np.uint64(3)) \
+        - np.uint64(1)                     # n_bits is a power of two
+    k_arr = _b64_byte_gather(data, starts, np.int64(0),
+                             np.zeros(len(rows), dtype=np.int64)) \
+        .astype(np.uint64)
+    kmax = int(k_arr.max())
+    sub_keep = np.zeros(len(rows), dtype=bool)
+    for v in values:
+        h1, h2 = _bloom_hash2(v)
+        # progressive short-circuit: probe bit i for all still-alive rows
+        # only — a non-member usually fails on the first probe, so the
+        # expected gathers/row is ~1.4, not k (same trick the scalar
+        # all() uses, kept vectorized)
+        alive = np.nonzero(~sub_keep)[0]
+        for i in range(kmax):
+            if not len(alive):
+                break
+            done = k_arr[alive] <= np.uint64(i)   # all their probes passed
+            if done.any():
+                sub_keep[alive[done]] = True
+                alive = alive[~done]
+                if not len(alive):
+                    break
+            # scalar wraparound in Python ints (numpy warns on scalar
+            # uint64 overflow even though the wrap is the point)
+            hh = np.uint64((h1 + i * h2) & _MASK64)
+            p = hh & nbits_mask[alive]
+            j = np.int64(1) + (p >> np.uint64(3)).astype(np.int64)
+            byte = _b64_byte_gather(data, starts[alive], j // 3, j % 3)
+            hit = (byte & (np.uint8(1)
+                           << (p & np.uint64(7)).astype(np.uint8))) != 0
+            alive = alive[hit]
+        sub_keep[alive] = True                    # survived every probe
+    keep_mask[rows[sub_keep]] = True
+    return keep_mask
+
+
 def _bloom_filter_chunks(man_sel: DataFrame, values: list) -> DataFrame:
     """Keep manifest rows whose chunk bloom may contain ANY of `values`
     (NULL bloom = no stats = always kept). Runs as mapInArrow over the
     manifest so blobs are probed executor-side — at 10^12-turn scale the
     manifest is itself a big table and the blobs must never be
-    collected."""
-    hashes = [_bloom_hash2(v) for v in values]
-
+    collected. The probe itself is bloom_probe_b64: batched base64-text
+    gathers, no per-row Python, no blob materialization."""
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        import base64
-        import numpy as np
         for batch in batches:
             tbl = pa.Table.from_batches([batch])
-            pids = tbl.column("partition_id")
-            cids = tbl.column("chunk_id")
-            blobs = tbl.column("bloom_b64").to_pylist()
-            n = len(blobs)
-            keep_mask = np.zeros(n, dtype=bool)
-            has = np.fromiter((b is not None for b in blobs), bool, count=n)
-            keep_mask[~has] = True            # no bloom recorded = keep
-            rows = np.nonzero(has)[0]
-            if len(rows):
-                # decode every blob once, concatenate the bitsets, and
-                # probe ALL rows per value with batched bit-index gathers
-                # — a (rows x k) numpy gather per value instead of a
-                # per-row Python loop (manifest rows number in the
-                # millions at 10^12-turn scale)
-                raw = [base64.b64decode(blobs[i]) for i in rows]
-                k_arr = np.fromiter((b[0] for b in raw), np.uint64,
-                                    count=len(raw))
-                lens = np.fromiter((len(b) - 1 for b in raw), np.int64,
-                                   count=len(raw))
-                offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
-                concat = np.frombuffer(b"".join(b[1:] for b in raw),
-                                       dtype=np.uint8)
-                nbits_mask = (lens.astype(np.uint64) << np.uint64(3)) \
-                    - np.uint64(1)            # n_bits is a power of two
-                kmax = int(k_arr.max())
-                ii = np.arange(kmax, dtype=np.uint64)
-                sub_keep = np.zeros(len(rows), dtype=bool)
-                for h1, h2 in hashes:
-                    rem = np.nonzero(~sub_keep)[0]
-                    if not len(rem):
-                        break
-                    # mod-2^64 wraparound then power-of-two mask == the
-                    # scalar probe's exact (h1 + i*h2) % n_bits
-                    hh = np.uint64(h1) + ii * np.uint64(h2)      # (k,)
-                    p = hh[None, :] & nbits_mask[rem, None]      # (r, k)
-                    byte_idx = offs[rem, None] + (p >> np.uint64(3)) \
-                        .astype(np.int64)
-                    hit = (concat[byte_idx]
-                           & (np.uint8(1) << (p & np.uint64(7))
-                              .astype(np.uint8))) != 0
-                    # probes past a row's own k don't exist: treat as set
-                    ok = hit | (ii[None, :] >= k_arr[rem, None])
-                    sub_keep[rem[ok.all(axis=1)]] = True
-                keep_mask[rows[sub_keep]] = True
+            keep_mask = bloom_probe_b64(tbl.column("bloom_b64"), values)
             sel = pa.array(keep_mask)
             yield pa.RecordBatch.from_arrays(
-                [pids.filter(sel).combine_chunks().cast(pa.int32()),
-                 cids.filter(sel).combine_chunks().cast(pa.int32())],
+                [tbl.column("partition_id").filter(sel).combine_chunks()
+                 .cast(pa.int32()),
+                 tbl.column("chunk_id").filter(sel).combine_chunks()
+                 .cast(pa.int32())],
                 ["partition_id", "chunk_id"])
 
     return (man_sel.select("partition_id", "chunk_id", "bloom_b64")
