@@ -96,17 +96,40 @@ def _plane_sign(p: int, j: int) -> bool:
     return int(hashlib.md5(f"{p}_{j}".encode()).hexdigest()[:15], 16) % 2 == 0
 
 
+def multiprobe_buckets(q_bucket: int, n_planes: int,
+                       hamming: int) -> list[int]:
+    """The query bucket plus every bucket within Hamming distance <=
+    `hamming` of it (flip 1..hamming plane signs). Standard multi-probe
+    LSH: a near neighbor that falls on the wrong side of a few
+    hyperplanes lands in an adjacent bucket; probing the Hamming ball
+    recovers it for (sum_{i<=d} C(planes, i)) / 2^planes of the scanned
+    fraction — still one scan + bucket-membership filter, no extra
+    shuffle. hamming=0 is the classic single-bucket probe."""
+    from itertools import combinations
+    buckets = {q_bucket}
+    for d in range(1, hamming + 1):
+        for flips in combinations(range(n_planes), d):
+            b = q_bucket
+            for p in flips:
+                b ^= 1 << p
+            buckets.add(b)
+    return sorted(buckets)
+
+
 def lsh_topk(df: DataFrame, query: list[float], k: int,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             n_planes: int = 8) -> DataFrame:
-    """Approximate top-k: score only vectors in the query's LSH bucket;
-    fall back to exact if the bucket is tiny (caller checks count).
-    At scale the bucket assignment is precomputed/bucketed-by at write."""
+             n_planes: int = 8, hamming: int = 0) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's LSH bucket —
+    or, with hamming=d > 0, in every bucket within Hamming distance d
+    (multi-probe; raises recall at a known extra scanned fraction).
+    At scale the bucket assignment is precomputed/bucketed-by at write,
+    so the probe set is a partition IN-list."""
     dim = len(query)
-    q_bucket = _py_bucket(query, n_planes)
+    probes = multiprobe_buckets(_py_bucket(query, n_planes), n_planes,
+                                hamming)
     bucketed = df.withColumn(
         "_bucket", lsh_bucket(F.col(vec_col).cast("array<double>"), dim, n_planes))
-    cand = bucketed.filter(F.col("_bucket") == q_bucket)
+    cand = bucketed.filter(F.col("_bucket").isin(probes))
     return cosine_topk(cand.drop("_bucket"), query, k, id_col, vec_col)
 
 
@@ -342,11 +365,13 @@ def plane_matrix(n_planes: int, dim: int):
 
 def lsh_topk_arrow(df: DataFrame, query: list[float], k: int,
                    id_col: str = "vec_id", vec_col: str = "embedding",
-                   n_planes: int = 8) -> DataFrame:
+                   n_planes: int = 8, hamming: int = 0) -> DataFrame:
     """Approximate top-k: one kernel computes bucket AND cosine per batch
-    (single scan, no expression-tree explosion); only the query's bucket
-    survives. At scale the bucket assignment is precomputed and the table
-    written bucketed by it, so probes read one bucket's files."""
+    (single scan, no expression-tree explosion); only the probed buckets
+    survive — the query's own bucket, plus its Hamming-<=d ball with
+    hamming=d (multi-probe). At scale the bucket assignment is
+    precomputed and the table written bucketed by it, so probes read the
+    probed buckets' files."""
     import numpy as np
     dim = len(query)
     w = plane_matrix(n_planes, dim)
@@ -354,6 +379,8 @@ def lsh_topk_arrow(df: DataFrame, query: list[float], k: int,
     qn = float(np.sqrt((q * q).sum()))
     pw2 = (1 << np.arange(n_planes)).astype(np.int64)
     q_bucket = int(((w @ q > 0).astype(np.int64) * pw2).sum())
+    probe_set = np.array(multiprobe_buckets(q_bucket, n_planes, hamming),
+                         dtype=np.int64)
 
     def run(batches):
         from supersonic_spark.runtime import pin_worker_threads
@@ -364,7 +391,7 @@ def lsh_topk_arrow(df: DataFrame, query: list[float], k: int,
                 continue
             m = _list_to_matrix(batch.column(1), dim)
             buckets = (((m @ w.T) > 0).astype(np.int64) * pw2).sum(axis=1)
-            keep = buckets == q_bucket
+            keep = np.isin(buckets, probe_set)
             mk = m[keep]
             norms = np.sqrt((mk * mk).sum(axis=1))
             sims = (mk @ q) / (norms * qn)
@@ -377,6 +404,35 @@ def lsh_topk_arrow(df: DataFrame, query: list[float], k: int,
               .mapInArrow(run, schema=f"{id_col} long, cos_sim double"))
     return (cand.select(id_col, F.round("cos_sim", 4).alias("cos_sim"))
                 .orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k))
+
+
+def lsh_assign_arrow(df: DataFrame, dim: int, n_planes: int = 8,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Arrow-batched LSH bucket assignment: (id, vec, lsh_bucket) — the
+    write-time twin of ivf_assign_arrow, for persisting tables bucketed
+    by sign bucket so probes (single- or multi-probe Hamming ball) read
+    only matching buckets. Same deterministic planes as lsh_bucket."""
+    import numpy as np
+    w = plane_matrix(n_planes, dim)
+    pw2 = (1 << np.arange(n_planes)).astype(np.int64)
+
+    def run(batches):
+        from supersonic_spark.runtime import pin_worker_threads
+        pin_worker_threads()
+        import pyarrow as pa
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            m = _list_to_matrix(batch.column(1), dim)
+            buckets = (((m @ w.T) > 0).astype(np.int64) * pw2).sum(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), batch.column(1),
+                 pa.array(buckets, pa.int64())],
+                [id_col, vec_col, "lsh_bucket"])
+
+    out_schema = f"{id_col} long, {vec_col} array<float>, lsh_bucket long"
+    return df.select(id_col, vec_col).mapInArrow(run, schema=out_schema)
 
 
 def ivf_assign_arrow(df: DataFrame, centroids: list[list[float]],

@@ -192,3 +192,74 @@ def generate_transcripts(spark, n_convs: int, seed: int = 42,
     par = parallelism or spark.sparkContext.defaultParallelism
     rng = spark.range(0, n_convs, numPartitions=min(par * 4, max(n_convs, 1)))
     return rng.mapInArrow(gen, schema=out_schema)
+
+
+def generate_clustered_embeddings(spark, n_vecs: int, dim: int = 64,
+                                  n_clusters: int = 16, seed: int = 42,
+                                  sigma: float = 0.15,
+                                  parallelism: int | None = None):
+    """Mixture-of-Gaussians embedding table (vec_id long, embedding
+    list<float32>, label int): cluster centers are deterministic unit
+    vectors (seeded per cluster), each vector = its center + N(0, sigma)
+    noise, derived purely from vec_id so the result is identical under
+    any partitioning. This is the CLUSTERED counterpart of the uniform
+    testdata embeddings — the distribution where a coarse quantizer's
+    recall must beat its scanned fraction (on uniform data recall can
+    only track the scanned fraction; see tools/ann_recall.py)."""
+    out_schema = ("vec_id long, embedding array<float>, label int")
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from .runtime import pin_worker_threads
+        pin_worker_threads()
+        centers = np.stack([
+            _unit_center(c, dim, seed) for c in range(n_clusters)])
+        for batch in batches:
+            ids = batch.column(0).to_numpy(zero_copy_only=False) \
+                       .astype(np.int64)
+            lab = (ids % n_clusters).astype(np.int32)
+            noise = _keyed_normal(ids, dim, seed)
+            vecs = centers[lab] + sigma * noise
+            flat = vecs.astype(np.float32).ravel()
+            emb = pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (len(ids) + 1) * dim, dim,
+                                   dtype=np.int32)),
+                pa.array(flat, pa.float32()))
+            yield pa.RecordBatch.from_arrays([
+                pa.array(ids, pa.int64()), emb,
+                pa.array(lab, pa.int32()),
+            ], ["vec_id", "embedding", "label"])
+
+    par = parallelism or spark.sparkContext.defaultParallelism
+    rng_df = spark.range(0, n_vecs, numPartitions=par)
+    return rng_df.mapInArrow(gen, schema=out_schema)
+
+
+def _keyed_normal(ids: np.ndarray, dim: int, seed: int) -> np.ndarray:
+    """(n, dim) standard-normal noise derived purely from each id —
+    counter-based (splitmix mix + Box-Muller), fully vectorized, so any
+    partitioning of ids yields identical vectors."""
+    n = len(ids)
+    seed_mix = np.uint64((seed * 0x9E3779B97F4A7C15) & ((1 << 64) - 1))
+    ctr = (ids[:, None].astype(np.uint64) * np.uint64(dim)
+           + np.arange(dim, dtype=np.uint64)[None, :] + seed_mix)
+    x = ctr + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    x = x ^ (x >> np.uint64(31))
+    # second independent stream for the Box-Muller angle
+    y = (x ^ np.uint64(0xD1B54A32D192ED03)) + np.uint64(0x9E3779B97F4A7C15)
+    y = (y ^ (y >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    y = (y ^ (y >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    y = y ^ (y >> np.uint64(31))
+    u1 = (x >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+    u2 = (y >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+    u1 = np.clip(u1, 1e-12, 1.0)
+    return (np.sqrt(-2.0 * np.log(u1))
+            * np.cos(2.0 * np.pi * u2)).reshape(n, dim)
+
+
+def _unit_center(cluster: int, dim: int, seed: int) -> np.ndarray:
+    g = np.random.Generator(np.random.Philox(
+        key=(seed * 0xC105 + 1, cluster)))
+    v = g.standard_normal(dim)
+    return v / np.sqrt((v * v).sum())

@@ -220,3 +220,111 @@ def test_prebucketed_resume_detects_same_second_rewrite(spark, tmp_path):
     m3 = encode_table_prebucketed(spark, bdir, out, cfg, fingerprint="r5")
     fresh = m3.filter(~F.col("resumed")).select("partition_id").distinct()
     assert fresh.count() == 1                            # only that bucket
+
+
+# ---------------------------------------------------------------------------
+# round-5 uncommitted-feature tests: vectorized bloom probe, multi-probe
+# LSH, clustered embedding datagen
+# ---------------------------------------------------------------------------
+
+def test_bloom_probe_b64_matches_scalar():
+    """bloom_probe_b64 (base64-text gathers, short-circuit) must agree
+    bit-for-bit with the scalar _bloom_member loop over every blob —
+    including NULL blobs (kept), mixed bitset sizes (self-describing
+    blobs), and sliced Arrow arrays."""
+    import base64
+
+    import numpy as np
+    import pyarrow as pa
+
+    from supersonic_spark.pipeline import (_bloom_build, _bloom_member,
+                                           bloom_probe_b64)
+
+    blobs = []
+    for i in range(300):
+        if i % 11 == 3:
+            blobs.append(None)                 # no stats = keep
+            continue
+        vals = pa.array([f"key_{i}_{j}" for j in range(1 + i % 37)])
+        blobs.append(_bloom_build(vals, 64 << (i % 3), 4))
+    probe_values = (["key_17_0", "key_250_5", "absent_a", "absent_b"]
+                    + [f"key_{i}_0" for i in range(0, 300, 50)])
+
+    arr = pa.array(blobs, pa.string())
+    got = bloom_probe_b64(arr, probe_values)
+    want = np.array([
+        b is None or any(_bloom_member(v, base64.b64decode(b))
+                         for v in probe_values)
+        for b in blobs])
+    assert got.dtype == bool and len(got) == len(blobs)
+    assert (got == want).all()
+
+    # sliced / offset array normalization
+    sl = arr.slice(7, 123)
+    got_sl = bloom_probe_b64(sl, probe_values)
+    assert (got_sl == want[7:130]).all()
+
+    # chunked array
+    ch = pa.chunked_array([arr.slice(0, 100), arr.slice(100)])
+    assert (bloom_probe_b64(ch, probe_values) == want).all()
+
+
+def test_multiprobe_buckets_hamming_ball():
+    from supersonic_spark.ann import multiprobe_buckets
+    q = 0b10110010
+    assert multiprobe_buckets(q, 8, 0) == [q]
+    d1 = multiprobe_buckets(q, 8, 1)
+    assert len(d1) == 9 and q in d1
+    assert all(bin(b ^ q).count("1") <= 1 for b in d1)
+    d2 = multiprobe_buckets(q, 8, 2)
+    assert len(d2) == 1 + 8 + 28
+    assert set(d1) <= set(d2)
+
+
+def test_clustered_embeddings_partition_invariant(spark):
+    """The mixture-of-Gaussians datagen derives every vector purely from
+    vec_id: any parallelism must give identical rows."""
+    from supersonic_spark.datagen import generate_clustered_embeddings
+
+    a = generate_clustered_embeddings(spark, 400, dim=16, n_clusters=8,
+                                      parallelism=2).collect()
+    b = generate_clustered_embeddings(spark, 400, dim=16, n_clusters=8,
+                                      parallelism=8).collect()
+    da = {r.vec_id: (r.label, r.embedding) for r in a}
+    db = {r.vec_id: (r.label, r.embedding) for r in b}
+    assert len(da) == 400 and da == db
+    assert all(lab == vid % 8 for vid, (lab, _) in da.items())
+
+
+def test_lsh_assign_arrow_matches_expr(spark):
+    """Write-time LSH bucket assignment (Arrow kernel) must agree with
+    the expression-path lsh_bucket for every vector."""
+    from supersonic_spark.ann import lsh_assign_arrow, lsh_bucket
+    from supersonic_spark.datagen import generate_clustered_embeddings
+
+    df = generate_clustered_embeddings(spark, 200, dim=16, n_clusters=4) \
+        .select("vec_id", "embedding")
+    kern = lsh_assign_arrow(df, dim=16, n_planes=8)
+    expr = df.withColumn(
+        "b_expr",
+        lsh_bucket(F.col("embedding").cast("array<double>"), 16, 8))
+    joined = kern.join(expr.select("vec_id", "b_expr"), "vec_id")
+    assert joined.filter(F.col("lsh_bucket") != F.col("b_expr")).count() == 0
+    assert joined.count() == 200
+
+
+def test_lsh_multiprobe_recall_monotone(spark):
+    """On clustered embeddings, widening the Hamming ball can only grow
+    the candidate set: top-k at hamming=1 must dominate hamming=0 in
+    cosine similarity (same scan, larger probe set)."""
+    from supersonic_spark.ann import lsh_topk_arrow
+    from supersonic_spark.datagen import generate_clustered_embeddings
+
+    df = generate_clustered_embeddings(spark, 600, dim=16, n_clusters=4) \
+        .select("vec_id", "embedding")
+    q = df.filter(F.col("vec_id") == 0).collect()[0].embedding
+    r0 = lsh_topk_arrow(df, q, 10, n_planes=6, hamming=0).collect()
+    r1 = lsh_topk_arrow(df, q, 10, n_planes=6, hamming=1).collect()
+    assert len(r1) >= len(r0)
+    if r0 and len(r0) == len(r1):
+        assert sum(r.cos_sim for r in r1) >= sum(r.cos_sim for r in r0) - 1e-9

@@ -1,25 +1,34 @@
 """Measured recall@k for the approximate ANN paths vs exact brute force.
 
 Approximate indexes trade recall for cost; this harness MEASURES that
-trade instead of asserting it: for a sample of query vectors from the
-embeddings table it computes recall@k of
+trade instead of asserting it, on TWO distributions:
 
-  - lsh_topk_arrow  (random-hyperplane sign bucket, single probe)
-  - ivf_topk_arrow  (coarse quantizer, n_probe sweep; n_probe = k_cells
+  - uniform: the driver-generated embeddings table (uniform vectors — the
+    adversarial case where any partition-then-probe index's recall can
+    only track its scanned fraction), and
+  - clustered: a deterministic mixture-of-Gaussians table
+    (datagen.generate_clustered_embeddings — the realistic case, where
+    IVF recall must EXCEED its scanned fraction because near neighbors
+    concentrate in the query's cell).
+
+For a sample of query vectors it computes recall@k of
+
+  - lsh_topk_arrow   (sign buckets; hamming=0,1,2 multi-probe sweep,
+    with the MEASURED scanned fraction of each probe set)
+  - ivf_topk_arrow   (coarse quantizer, n_probe sweep; n_probe = k_cells
     is exact by construction and must read 1.0)
 
-against cosine_topk_arrow ground truth, plus the candidate-set fraction
-each probe scanned (the cost side of the trade). Writes
-BENCH/ann_recall.json.
+against cosine_topk_arrow ground truth. Writes BENCH/ann_recall.json.
 
 Usage: python tools/ann_recall.py [--sf-dir /root/testdata/sf0.1]
-           [--n-queries 16] [--k 20] [--cells 16]
+           [--n-queries 16] [--k 20] [--cells 16] [--clustered-n 60000]
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import math
 import os
 import sys
 
@@ -27,41 +36,29 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
-    ap.add_argument("--n-queries", type=int, default=16)
-    ap.add_argument("--k", type=int, default=20)
-    ap.add_argument("--cells", type=int, default=16)
-    ap.add_argument("--planes", type=int, default=8)
-    args = ap.parse_args()
-
-    import pyarrow.parquet as pq
-    from supersonic_spark.session import get_spark
+def measure(spark, emb, queries, args, label):
     from supersonic_spark.ann import (cosine_topk_arrow, ivf_assign_arrow,
-                                      ivf_topk_arrow, lsh_topk_arrow,
-                                      train_centroids)
+                                      ivf_topk_arrow, lsh_assign_arrow,
+                                      lsh_topk_arrow, multiprobe_buckets,
+                                      plane_matrix, train_centroids)
+    import numpy as np
 
-    spark = get_spark(cores=int(os.environ.get("SPARK_GRAFT_CPUS", 8)))
-    spark.sparkContext.setLogLevel("ERROR")
-    path = os.path.join(args.sf_dir, "embeddings.parquet")
-    emb = spark.read.parquet(path).localCheckpoint(eager=True)
     n_vecs = emb.count()
-    qtbl = pq.read_table(path, columns=["vec_id", "embedding"])
-    queries = [qtbl.column("embedding")[i].as_py()
-               for i in range(args.n_queries)]
-
     cents = train_centroids(emb, k=args.cells)
     assigned = ivf_assign_arrow(emb, cents).localCheckpoint(eager=True)
     cell_sizes = {r["ivf_cell"]: r["n"] for r in
                   assigned.groupBy("ivf_cell").count()
                   .withColumnRenamed("count", "n").collect()}
+    dim = len(queries[0])
+    bucketed = lsh_assign_arrow(emb, dim, n_planes=args.planes)
+    bucket_sizes = {r["lsh_bucket"]: r["n"] for r in
+                    bucketed.groupBy("lsh_bucket").count()
+                    .withColumnRenamed("count", "n").collect()}
 
     def ids(df):
         return [r["vec_id"] for r in df.collect()]
 
-    import math
-    results = {"n_vectors": n_vecs, "n_queries": args.n_queries,
+    results = {"n_vectors": n_vecs, "n_queries": len(queries),
                "k": args.k, "cells": args.cells, "planes": args.planes,
                "ivf": {}, "lsh": {}}
     truth = [set(ids(cosine_topk_arrow(emb, q, args.k))) for q in queries]
@@ -82,26 +79,89 @@ def main():
             "mean_recall": round(sum(recalls) / len(recalls), 4),
             "min_recall": round(min(recalls), 4),
             "mean_scanned_fraction": round(sum(frac) / len(frac), 4)}
-        print(f"ivf n_probe={n_probe}: recall {results['ivf'][str(n_probe)]}",
-              flush=True)
+        print(f"[{label}] ivf n_probe={n_probe}: "
+              f"{results['ivf'][str(n_probe)]}", flush=True)
 
-    recalls = []
-    for qi, q in enumerate(queries):
-        got = set(ids(lsh_topk_arrow(emb, q, args.k, n_planes=args.planes)))
-        recalls.append(len(got & truth[qi]) / args.k)
-    results["lsh"] = {"mean_recall": round(sum(recalls) / len(recalls), 4),
-                      "min_recall": round(min(recalls), 4),
-                      "expected_bucket_fraction": round(2 ** -args.planes, 6)}
-    print(f"lsh planes={args.planes}: {results['lsh']}", flush=True)
+    w = plane_matrix(args.planes, dim)
+    pw2 = (1 << np.arange(args.planes)).astype(np.int64)
+    for hamming in (0, 1, 2):
+        recalls, frac = [], []
+        for qi, q in enumerate(queries):
+            got = set(ids(lsh_topk_arrow(emb, q, args.k,
+                                         n_planes=args.planes,
+                                         hamming=hamming)))
+            recalls.append(len(got & truth[qi]) / args.k)
+            qv = np.asarray(q, dtype=np.float64)
+            qb = int(((w @ qv > 0).astype(np.int64) * pw2).sum())
+            probes = multiprobe_buckets(qb, args.planes, hamming)
+            scanned = sum(bucket_sizes.get(b, 0) for b in probes)
+            frac.append(scanned / n_vecs)
+        results["lsh"][f"hamming{hamming}"] = {
+            "mean_recall": round(sum(recalls) / len(recalls), 4),
+            "min_recall": round(min(recalls), 4),
+            "mean_scanned_fraction": round(sum(frac) / len(frac), 4)}
+        print(f"[{label}] lsh hamming={hamming}: "
+              f"{results['lsh'][f'hamming{hamming}']}", flush=True)
 
     exact_probe = results["ivf"][str(args.cells)]
     assert exact_probe["mean_recall"] == 1.0, \
         "full probing must be exact — quantizer bug"
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--n-queries", type=int, default=16)
+    ap.add_argument("--k", type=int, default=20)
+    ap.add_argument("--cells", type=int, default=16)
+    ap.add_argument("--planes", type=int, default=8)
+    ap.add_argument("--clustered-n", type=int, default=60000)
+    ap.add_argument("--skip-uniform", action="store_true")
+    ap.add_argument("--skip-clustered", action="store_true")
+    args = ap.parse_args()
+
+    import pyarrow.parquet as pq
+    from supersonic_spark.session import get_spark
+    from supersonic_spark.datagen import generate_clustered_embeddings
+
+    spark = get_spark(cores=int(os.environ.get("SPARK_GRAFT_CPUS", 8)))
+    spark.sparkContext.setLogLevel("ERROR")
 
     dst = os.path.join(REPO, "BENCH", "ann_recall.json")
+    out = {}
+    if os.path.exists(dst):
+        with open(dst) as f:
+            prev = json.load(f)
+        # preserve whichever section this invocation skips
+        out = {k: prev[k] for k in ("uniform", "clustered") if k in prev}
+
+    if not args.skip_uniform:
+        path = os.path.join(args.sf_dir, "embeddings.parquet")
+        emb = spark.read.parquet(path).localCheckpoint(eager=True)
+        qtbl = pq.read_table(path, columns=["vec_id", "embedding"])
+        queries = [qtbl.column("embedding")[i].as_py()
+                   for i in range(args.n_queries)]
+        out["uniform"] = measure(spark, emb, queries, args, "uniform")
+
+    if not args.skip_clustered:
+        emb_c = generate_clustered_embeddings(
+            spark, args.clustered_n, dim=64, n_clusters=args.cells,
+            seed=99).localCheckpoint(eager=True)
+        # queries are themselves clustered points (held-in distribution)
+        rows = emb_c.limit(args.n_queries).collect()
+        queries = [r["embedding"] for r in rows]
+        out["clustered"] = measure(spark, emb_c, queries, args, "clustered")
+        # headline claim check: at n_probe=1 on clustered data, recall
+        # must clearly exceed the scanned fraction
+        p1 = out["clustered"]["ivf"]["1"]
+        print(f"clustered ivf n_probe=1: recall {p1['mean_recall']} vs "
+              f"scanned {p1['mean_scanned_fraction']}", flush=True)
+
     with open(dst, "w") as f:
-        json.dump(results, f, indent=1)
-    print(json.dumps(results))
+        json.dump(out, f, indent=1)
+    print(json.dumps({k: {"ivf_1": v["ivf"].get("1"),
+                          "lsh": v["lsh"]} for k, v in out.items()}))
     spark.stop()
 
 
