@@ -1489,6 +1489,145 @@ def q_codec_roundtrip_floats(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# round-5 additions: full TPC-H Q1, Q12/Q17/Q19 shapes, multi-probe LSH,
+# datetime-predicate chunk pruning through the codec stack
+# ---------------------------------------------------------------------------
+
+def q_tpch_q1_pricing_full(spark, sf):
+    """FULL TPC-H Q1 (the reference's GroupedSums primer is the reduced
+    form): shipdate-filtered scan, group by (returnflag, linestatus),
+    eight aggregates including compound charge expressions and averages.
+    One scan + one partial-agg'd shuffle; money in integer cents, avgs
+    rounded to 4dp for cross-engine hash parity."""
+    cut = F.lit("1998-09-01").cast("timestamp")
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= cut)
+    base = _cents(F.col("l_extendedprice"))
+    disc = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    charge = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax")))
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+                 F.sum(base).alias("sum_base_cents"),
+                 F.sum(disc).alias("sum_disc_cents"),
+                 F.sum(charge).alias("sum_charge_cents"),
+                 F.round(F.sum(F.col("l_quantity").cast("long"))
+                         / F.count("*"), 4).alias("avg_qty"),
+                 F.round(F.sum(base) / F.count("*"), 4).alias("avg_price_cents"),
+                 F.round(F.sum(F.round(F.col("l_discount") * 10000, 0)
+                               .cast("long")) / F.count("*"), 4)
+                 .alias("avg_disc_bp"),
+                 F.count("*").alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+def q_tpch_q12_priority_class(spark, sf):
+    """Q12 shape (shipping-mode priority classes, adapted to this
+    schema's columns): fact-fact join + conditional aggregation — counts
+    split by CASE over the joined dimension attribute. One shuffle for
+    the join (orders side is the smaller fact; Catalyst picks the
+    build side), map-side partial counts."""
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1997-01-01").cast("timestamp")
+    li = (_t(spark, sf, "lineitem")
+          .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+          .select("l_orderkey", "l_linestatus"))
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_linestatus")
+            .agg(F.sum(F.when(urgent, 1).otherwise(0)).alias("high_count"),
+                 F.sum(F.when(urgent, 0).otherwise(1)).alias("low_count"))
+            .orderBy("l_linestatus"))
+
+
+def q_tpch_q17_small_quantity(spark, sf):
+    """Q17 shape (small-quantity-order revenue): join lineitems of one
+    brand against their PER-PART average quantity (the correlated
+    subquery, decorrelated into an aggregate + equi-join — exactly how
+    Catalyst and the reference's hand-built plans both execute it), keep
+    rows below 0.5x the part's average, sum revenue. The per-part agg is
+    tiny (one row per part) so it broadcasts back against the fact."""
+    li = _t(spark, sf, "lineitem").select("l_partkey", "l_quantity",
+                                          "l_extendedprice")
+    p = (_t(spark, sf, "part").filter(F.col("p_brand") == "Brand#23")
+         .select("p_partkey"))
+    li_b = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    avg_q = (li_b.groupBy("l_partkey")
+             .agg(F.avg("l_quantity").alias("avg_qty")))
+    return (li_b.join(F.broadcast(avg_q), "l_partkey")
+            .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+            .agg(F.sum(_cents(F.col("l_extendedprice")))
+                 .alias("small_rev_cents"),
+                 F.count("*").alias("n")))
+
+
+def q_tpch_q19_disjunctive_revenue(spark, sf):
+    """Q19 shape (disjunctive brand/size/quantity predicate): an
+    OR-of-ANDs residual across a part join. The join key predicate stays
+    conjunctive (one equi-join, part broadcast), the disjunction is a
+    post-join filter — the pattern where a naive engine triples the scan
+    and a good plan does it in one."""
+    li = _t(spark, sf, "lineitem").select("l_partkey", "l_quantity",
+                                          "l_extendedprice", "l_discount")
+    p = _t(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    c1 = ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+          & F.col("l_quantity").between(1, 11))
+    c2 = ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+          & F.col("l_quantity").between(10, 20))
+    c3 = ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
+          & F.col("l_quantity").between(20, 30))
+    return (j.filter(c1 | c2 | c3)
+            .agg(F.sum(_cents(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount"))))
+                 .alias("revenue_cents"),
+                 F.count("*").alias("n")))
+
+
+def q_lsh_topk_multiprobe(spark, sf):
+    """Multi-probe LSH top-k (hamming=1): probe the query's sign bucket
+    PLUS every bucket one plane-flip away — recall rises at a known
+    extra scanned fraction (9/256 of the table at 8 planes instead of
+    1/256), still one scan + bucket-membership filter, no shuffle.
+    Arrow-batched kernel; oracle replicates the plane math in SQL."""
+    from supersonic_spark.ann import lsh_topk_arrow
+    import pyarrow.parquet as pq
+    q = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]) \
+          .column("embedding")[0].as_py()
+    e = _t(spark, sf, "embeddings")
+    return lsh_topk_arrow(e, q, 20, n_planes=8, hamming=1)
+
+
+def q_codec_datetime_prune(spark, sf):
+    """DATETIME-predicate chunk pruning through the codec stack: events
+    encoded time-sorted, decoded under a (ts, lo, hi) range — timestamp
+    zone maps are normalized to ns-since-epoch and the bound conversion
+    resolves naive datetimes in the session timezone, widened outward so
+    pruning can only ever keep extra chunks; the residual filter keeps
+    the result exact. On ts-sorted blocks this prunes almost all chunks
+    — the time-travel read path of the transcript table."""
+    import datetime as dt
+    import tempfile
+    from supersonic_spark.pipeline import (EncodeConfig, decode_table,
+                                           encode_table)
+    ev = _t(spark, sf, "events").select("event_id", "ts", "user_id",
+                                        "event_type", "value")
+    out = tempfile.mkdtemp(prefix="ss_dtprune_gate_")
+    cfg = EncodeConfig(n_partitions=4, chunk_rows=512, conv_key="user_id",
+                       order_key="event_id", sort_keys=("ts", "event_id"))
+    encode_table(spark, ev, out, cfg, fingerprint="dtprune-gate")
+    lo = dt.datetime(2024, 1, 10, 0, 0, 0)
+    hi = dt.datetime(2024, 1, 12, 0, 0, 0)
+    dec = decode_table(spark, out, columns=["event_id", "ts", "user_id"],
+                       predicate=("ts", lo, hi))
+    # decoded ts preserves the source's NTZ type; session tz is UTC, so
+    # the cast matches DuckDB's epoch_us over the same naive values
+    return dec.select("event_id", "user_id",
+                      F.unix_micros(F.col("ts").cast("timestamp"))
+                      .alias("ts_us"))
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -1499,13 +1638,89 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's correctness gate samples
-    # the FIRST 50 entries.  Rounds 1-3 verified the relational prefix
-    # (scan/join/agg/sort/expr/stateful — all green twice); round 4 rotates
-    # the previously-unsampled dedup/ANN/codec/TPC-H/curation/extension set
-    # into the prefix so every query earns a driver-proven row.  Local
-    # replica (tools/check_oracles.py) still verifies all entries.
+    # the FIRST 50 entries. Rotation history: rounds 1-3 proved the
+    # relational set (twice); round 4 proved the dedup/ANN/codec/TPC-H/
+    # curation set. Round 5 rotates forward (a) the 11 round-4 additions
+    # that were replica-only, (b) codec_selection_report (now carrying a
+    # pinned oracle), (c) the 6 new round-5 queries, and backfills the
+    # remaining 32 slots with the least-recently-driver-proven relational
+    # entries (last proven r1-r3). Local replica (tools/check_oracles.py)
+    # still verifies every entry.
     return {
-        # --- rotated-in prefix: driver-verified this round ---
+        # --- (a) round-4 additions: driver-verify this round ---
+        "expr_datetime3": q_expr_datetime3,
+        "expr_div_variants": q_expr_div_variants,
+        "tpch_q14_promo_revenue": q_tpch_q14_promo_revenue,
+        "tpch_q4_priority_check": q_tpch_q4_priority_check,
+        "tpch_q7_volume_shipping": q_tpch_q7_volume_shipping,
+        "codec_point_lookup": q_codec_point_lookup,
+        "codec_in_lookup": q_codec_in_lookup,
+        "codec_compaction": q_codec_compaction,
+        "codec_stats_agg": q_codec_stats_agg,
+        "codec_roundtrip_embeddings": q_codec_roundtrip_embeddings,
+        "ann_ivf_topk_indexed": q_ann_ivf_topk_indexed,
+        # --- (b) previously rows-only, now oracled ---
+        "codec_selection_report": q_codec_selection_report,
+        # --- (c) round-5 additions ---
+        "tpch_q1_pricing_full": q_tpch_q1_pricing_full,
+        "tpch_q12_priority_class": q_tpch_q12_priority_class,
+        "tpch_q17_small_quantity": q_tpch_q17_small_quantity,
+        "tpch_q19_disjunctive_revenue": q_tpch_q19_disjunctive_revenue,
+        "lsh_topk_multiprobe": q_lsh_topk_multiprobe,
+        "codec_datetime_prune": q_codec_datetime_prune,
+        # --- backfill: least-recently-driver-proven (r1-r3) ---
+        "scan_project": q_scan_project,
+        "compute_expr": q_compute_expr,
+        "filter_null_semantics": q_filter_null_semantics,
+        "filter_in_list": q_filter_in_list,
+        "generate_sequence": q_generate_sequence,
+        "hash_join_inner": q_hash_join_inner,
+        "hash_join_left_outer": q_hash_join_left_outer,
+        "broadcast_join_unique": q_broadcast_join_unique,
+        "foreign_filter_semi": q_foreign_filter_semi,
+        "anti_join_orphans": q_anti_join_orphans,
+        "rowid_merge_join": q_rowid_merge_join,
+        "lookup_index_multimatch": q_lookup_index_multimatch,
+        "coalesce_zip": q_coalesce_zip,
+        "group_agg_pricing_summary": q_group_agg_pricing_summary,
+        "agg_min_max": q_agg_min_max,
+        "agg_distinct": q_agg_distinct,
+        "agg_concat": q_agg_concat,
+        "agg_first_last": q_agg_first_last,
+        "scalar_agg_empty": q_scalar_agg_empty,
+        "agg_all_null_group": q_agg_all_null_group,
+        "group_agg_with_limit": q_group_agg_with_limit,
+        "multi_distinct_rewrite": q_multi_distinct_rewrite,
+        "avg_composed": q_avg_composed,
+        "sort_topk": q_sort_topk,
+        "sort_case_insensitive": q_sort_case_insensitive,
+        "sort_nulls_first": q_sort_nulls_first,
+        "limit_offset": q_limit_offset,
+        "merge_union_all": q_merge_union_all,
+        "distinct": q_distinct,
+        "intersect_nations": q_intersect_nations,
+        "except_nations": q_except_nations,
+        "expr_math": q_expr_math,
+        # ---------------- end of 50-entry driver prefix ----------------
+        "expr_string": q_expr_string,
+        "expr_regexp": q_expr_regexp,
+        "expr_regexp2": q_expr_regexp2,
+        "expr_datetime": q_expr_datetime,
+        "expr_parse_datetime": q_expr_parse_datetime,
+        "expr_case_cast": q_expr_case_cast,
+        "expr_bitwise": q_expr_bitwise,
+        "expr_hashing": q_expr_hashing,
+        "stateful_changed": q_stateful_changed,
+        "stateful_running_sum": q_stateful_running_sum,
+        "stateful_smudge": q_stateful_smudge,
+        "stateful_running_min_flush": q_stateful_running_min_flush,
+        "stateful_smudge_if": q_stateful_smudge_if,
+        "window_rank": q_window_rank,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "range_join_bucketed": q_range_join_bucketed,
+        "cube_agg": q_cube_agg,
+        # --- driver-proven in round 4 ---
         "rollup_agg": q_rollup_agg,
         "grouping_sets": q_grouping_sets,
         "topk_per_group": q_topk_per_group,
@@ -1549,76 +1764,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_roundtrip_docs": q_codec_roundtrip_docs,
         "codec_projection_pushdown": q_codec_projection_pushdown,
         "codec_roundtrip_floats": q_codec_roundtrip_floats,
-        "codec_selection_report": q_codec_selection_report,
         "tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
         "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
         "tpch_q10_returned_items": q_tpch_q10_returned_items,
         "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
         "tpch_q18_large_orders": q_tpch_q18_large_orders,
         "window_lag_lead": q_window_lag_lead,
-        # --- round-4 additions (replica-verified; rotate forward next) ---
-        "expr_datetime3": q_expr_datetime3,
-        "expr_div_variants": q_expr_div_variants,
-        "tpch_q14_promo_revenue": q_tpch_q14_promo_revenue,
-        "tpch_q4_priority_check": q_tpch_q4_priority_check,
-        "codec_point_lookup": q_codec_point_lookup,
-        "codec_in_lookup": q_codec_in_lookup,
-        "codec_compaction": q_codec_compaction,
-        "ann_ivf_topk_indexed": q_ann_ivf_topk_indexed,
-        "codec_stats_agg": q_codec_stats_agg,
-        "codec_roundtrip_embeddings": q_codec_roundtrip_embeddings,
-        "tpch_q7_volume_shipping": q_tpch_q7_volume_shipping,
-        # --- twice-driver-proven relational set (rounds 1-3) ---
-        "scan_project": q_scan_project,
-        "compute_expr": q_compute_expr,
-        "filter_null_semantics": q_filter_null_semantics,
-        "filter_in_list": q_filter_in_list,
-        "generate_sequence": q_generate_sequence,
-        "hash_join_inner": q_hash_join_inner,
-        "hash_join_left_outer": q_hash_join_left_outer,
-        "broadcast_join_unique": q_broadcast_join_unique,
-        "foreign_filter_semi": q_foreign_filter_semi,
-        "anti_join_orphans": q_anti_join_orphans,
-        "rowid_merge_join": q_rowid_merge_join,
-        "lookup_index_multimatch": q_lookup_index_multimatch,
-        "coalesce_zip": q_coalesce_zip,
-        "group_agg_pricing_summary": q_group_agg_pricing_summary,
-        "agg_min_max": q_agg_min_max,
-        "agg_distinct": q_agg_distinct,
-        "agg_concat": q_agg_concat,
-        "agg_first_last": q_agg_first_last,
-        "scalar_agg_empty": q_scalar_agg_empty,
-        "agg_all_null_group": q_agg_all_null_group,
-        "group_agg_with_limit": q_group_agg_with_limit,
-        "multi_distinct_rewrite": q_multi_distinct_rewrite,
-        "avg_composed": q_avg_composed,
-        "sort_topk": q_sort_topk,
-        "sort_case_insensitive": q_sort_case_insensitive,
-        "sort_nulls_first": q_sort_nulls_first,
-        "limit_offset": q_limit_offset,
-        "merge_union_all": q_merge_union_all,
-        "distinct": q_distinct,
-        "intersect_nations": q_intersect_nations,
-        "except_nations": q_except_nations,
-        "expr_math": q_expr_math,
-        "expr_string": q_expr_string,
-        "expr_regexp": q_expr_regexp,
-        "expr_regexp2": q_expr_regexp2,
-        "expr_datetime": q_expr_datetime,
-        "expr_parse_datetime": q_expr_parse_datetime,
-        "expr_case_cast": q_expr_case_cast,
-        "expr_bitwise": q_expr_bitwise,
-        "expr_hashing": q_expr_hashing,
-        "stateful_changed": q_stateful_changed,
-        "stateful_running_sum": q_stateful_running_sum,
-        "stateful_smudge": q_stateful_smudge,
-        "stateful_running_min_flush": q_stateful_running_min_flush,
-        "stateful_smudge_if": q_stateful_smudge_if,
-        "window_rank": q_window_rank,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "range_join_bucketed": q_range_join_bucketed,
-        "cube_agg": q_cube_agg,
     }
 
 

@@ -1149,3 +1149,127 @@ FROM (
 GROUP BY supp_nation, cust_nation, yr
 ORDER BY supp_nation, cust_nation, yr
 """
+
+# --- round-5 additions ------------------------------------------------------
+
+ORACLES["tpch_q1_pricing_full"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS BIGINT)
+         AS sum_base_cents,
+       CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*100, 0) AS BIGINT))
+            AS BIGINT) AS sum_disc_cents,
+       CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*(1+l_tax)*100, 0)
+                     AS BIGINT)) AS BIGINT) AS sum_charge_cents,
+       round(SUM(CAST(l_quantity AS BIGINT))::DOUBLE / count(*), 4) AS avg_qty,
+       round(SUM(CAST(round(l_extendedprice*100, 0) AS BIGINT))::DOUBLE
+             / count(*), 4) AS avg_price_cents,
+       round(SUM(CAST(round(l_discount*10000, 0) AS BIGINT))::DOUBLE
+             / count(*), 4) AS avg_disc_bp,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+ORACLES["tpch_q12_priority_class"] = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+ORACLES["tpch_q17_small_quantity"] = """
+WITH li_b AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#23'),
+avg_q AS (
+  SELECT l_partkey, avg(l_quantity) AS avg_qty FROM li_b GROUP BY l_partkey)
+SELECT CAST(SUM(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS BIGINT)
+         AS small_rev_cents,
+       count(*) AS n
+FROM li_b JOIN avg_q USING (l_partkey)
+WHERE l_quantity < 0.5 * avg_qty
+"""
+
+ORACLES["tpch_q19_disjunctive_revenue"] = """
+SELECT CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*100, 0) AS BIGINT))
+            AS BIGINT) AS revenue_cents,
+       count(*) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+ORACLES["codec_datetime_prune"] = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+  AND ts <= TIMESTAMP '2024-01-12 00:00:00'
+"""
+
+
+def _lsh_topk_multiprobe_oracle(n_planes: int = 8, dim: int = 64,
+                                k: int = 20) -> str:
+    """Multi-probe (hamming=1) twin of _lsh_topk_oracle: candidate set is
+    the query bucket plus each single-plane flip, i.e. xor(qb, 1<<i)."""
+    from supersonic_spark.ann import _plane_sign
+
+    def bucket(vec_expr: str) -> str:
+        terms = []
+        for p in range(n_planes):
+            w = "[" + ", ".join(
+                "1.0" if _plane_sign(p, j) else "-1.0"
+                for j in range(dim)) + "]"
+            terms.append(f"(CASE WHEN list_dot_product({vec_expr}, {w}) > 0 "
+                         f"THEN {1 << p} ELSE 0 END)")
+        return " + ".join(terms)
+
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+b AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+             {bucket("embedding::DOUBLE[]")} AS bucket
+      FROM embeddings),
+qb AS (SELECT {bucket("qe")} AS bucket FROM q),
+probes AS (
+  SELECT bucket FROM qb
+  UNION
+  SELECT xor(qb.bucket, 1 << i)
+  FROM qb, UNNEST(generate_series(0, {n_planes - 1})) AS t(i))
+SELECT vec_id,
+       round(list_cosine_similarity(e, (SELECT qe FROM q)), 4) AS cos_sim
+FROM b WHERE bucket IN (SELECT bucket FROM probes)
+ORDER BY cos_sim DESC, vec_id ASC LIMIT {k}
+"""
+
+
+ORACLES["lsh_topk_multiprobe"] = _lsh_topk_multiprobe_oracle()
+
+# codec_selection_report: the selector's choices on the deterministic
+# sf0.01 documents table, pinned as literals (VERDICT r4 item 7) — the
+# report itself is engine-specific (no DuckDB analogue), but pinning it
+# turns selector-behavior regressions into gate failures. doc_id arrives
+# round-robin-shuffled (unsorted) in each partition, so the selector
+# correctly picks for_bitpack over delta_bitpack there; text at 250-row
+# partition grain picks dict (tokdict needs the full-table sample).
+ORACLES["codec_selection_report"] = """
+SELECT * FROM (VALUES
+  ('doc_id',  'for_bitpack', CAST(2 AS BIGINT)),
+  ('lang',    'dict',        CAST(2 AS BIGINT)),
+  ('n_chars', 'for_bitpack', CAST(2 AS BIGINT)),
+  ('source',  'dict',        CAST(2 AS BIGINT)),
+  ('text',    'dict',        CAST(2 AS BIGINT))
+) AS t("column", codec, "count")
+"""
