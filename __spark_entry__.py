@@ -1627,6 +1627,222 @@ def q_codec_datetime_prune(spark, sf):
                       .alias("ts_us"))
 
 
+def q_tpch_q8_market_share(spark, sf):
+    """Q8 shape (national market share): seven-way join — region-filtered
+    customers' orders' lineitems of one part type, suppliers resolved to
+    their nation — then the share of one nation's revenue per year.
+    All four dimension sides broadcast; the only shuffle is the
+    lineitem-orders join + final group-by-year."""
+    n = _t(spark, sf, "nation")
+    amer = n.filter(F.col("n_regionkey") == 1).select("n_nationkey")
+    cust = (_t(spark, sf, "customer")
+            .join(F.broadcast(amer),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("c_custkey"))
+    lo = F.lit("1995-01-01").cast("timestamp")
+    hi = F.lit("1997-01-01").cast("timestamp")
+    o = (_t(spark, sf, "orders")
+         .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+         .select("o_orderkey", F.year("o_orderdate").alias("yr")))
+    p = (_t(spark, sf, "part").filter(F.col("p_type") == "ECONOMY")
+         .select("p_partkey"))
+    s = (_t(spark, sf, "supplier")
+         .join(F.broadcast(n.select("n_nationkey",
+                                    F.col("n_name").alias("supp_nation"))),
+               F.col("s_nationkey") == F.col("n_nationkey"))
+         .select("s_suppkey", "supp_nation"))
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .alias("vol_cents"))
+    j = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+         .join(o, li.l_orderkey == o.o_orderkey)
+         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey))
+    tgt = F.when(F.col("supp_nation") == "NATION_6",
+                 F.col("vol_cents")).otherwise(F.lit(0))
+    return (j.groupBy("yr")
+            .agg(F.sum(tgt).alias("nation_cents"),
+                 F.sum("vol_cents").alias("total_cents"))
+            .withColumn("mkt_share",
+                        F.round(F.col("nation_cents")
+                                / F.col("total_cents"), 4))
+            .orderBy("yr"))
+
+
+def q_tpch_q9_product_profit(spark, sf):
+    """Q9 shape (product-type profit by nation and year; supply cost
+    adapted to 60% of p_retailprice — this schema carries no partsupp):
+    lineitem x part(type) x supplier->nation x orders(year), profit
+    aggregated per (nation, year). Dimensions broadcast; one wide
+    shuffle for the orders join."""
+    p = (_t(spark, sf, "part").filter(F.col("p_type") == "STANDARD")
+         .select("p_partkey", "p_retailprice"))
+    n = _t(spark, sf, "nation").select("n_nationkey",
+                                       F.col("n_name").alias("nation"))
+    s = (_t(spark, sf, "supplier")
+         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+         .select("s_suppkey", "nation"))
+    o = _t(spark, sf, "orders").select("o_orderkey",
+                                       F.year("o_orderdate").alias("yr"))
+    li = _t(spark, sf, "lineitem")
+    j = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+         .join(o, li.l_orderkey == o.o_orderkey))
+    amount = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    - F.col("p_retailprice") * 0.6 * F.col("l_quantity"))
+    return (j.groupBy("nation", "yr")
+            .agg(F.sum(amount).alias("profit_cents"))
+            .orderBy("nation", F.col("yr").desc()))
+
+
+def q_tpch_q13_customer_distribution(spark, sf):
+    """Q13 shape (customer order-count distribution): LEFT join with a
+    predicate on the RIGHT side (non-urgent orders only) — customers
+    with zero qualifying orders must survive with count 0 — then the
+    histogram of counts. Two shuffles (join + re-agg), the canonical
+    double-aggregation."""
+    c = _t(spark, sf, "customer").select("c_custkey")
+    o = (_t(spark, sf, "orders")
+         .filter(F.col("o_orderpriority") != "1-URGENT")
+         .select("o_custkey", "o_orderkey"))
+    per = (c.join(o, c.c_custkey == o.o_custkey, "left")
+           .groupBy("c_custkey")
+           .agg(F.count("o_orderkey").alias("c_count")))
+    return (per.groupBy("c_count").agg(F.count("*").alias("custdist"))
+            .orderBy(F.col("custdist").desc(), F.col("c_count").desc()))
+
+
+def q_tpch_q15_top_supplier(spark, sf):
+    """Q15 shape (top supplier by quarterly revenue): revenue CTE, the
+    scalar MAX over it, and the equi-restriction back onto supplier —
+    the scalar joins back as a broadcast of one row, never a collect."""
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1996-04-01").cast("timestamp")
+    rev = (_t(spark, sf, "lineitem")
+           .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+           .groupBy("l_suppkey")
+           .agg(F.sum(_cents(F.col("l_extendedprice")
+                             * (1 - F.col("l_discount"))))
+                .alias("total_rev_cents")))
+    mx = rev.agg(F.max("total_rev_cents").alias("mx"))
+    top = rev.join(F.broadcast(mx),
+                   rev.total_rev_cents == F.col("mx")).drop("mx")
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (s.join(top, s.s_suppkey == top.l_suppkey)
+            .select("s_suppkey", "s_name", "total_rev_cents")
+            .orderBy("s_suppkey"))
+
+
+def q_tpch_q16_supplier_relationship(spark, sf):
+    """Q16 shape (how many suppliers can serve each part profile;
+    part-supplier bridge adapted to lineitem — no partsupp table): brand/
+    type/size filters, a NOT-IN exclusion (negative-balance suppliers)
+    executed as a broadcast anti-join, COUNT(DISTINCT supplier)."""
+    p = (_t(spark, sf, "part")
+         .filter((F.col("p_brand") != "Brand#45")
+                 & (F.col("p_type") != "MEDIUM")
+                 & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+         .select("p_partkey", "p_brand", "p_type", "p_size"))
+    bad = (_t(spark, sf, "supplier").filter(F.col("s_acctbal") < 0)
+           .select(F.col("s_suppkey").alias("bad_key")))
+    li = _t(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    j = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+         .join(F.broadcast(bad), li.l_suppkey == F.col("bad_key"),
+               "left_anti"))
+    return (j.groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+            .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type",
+                     "p_size"))
+
+
+def q_tpch_q21_waiting_suppliers(spark, sf):
+    """Q21 shape (suppliers who alone failed multi-supplier orders;
+    'failed' adapted to l_returnflag = 'R' — this lineitem carries no
+    commit/receipt dates): one EXISTS (another supplier in the same
+    order) as a semi-join and one NOT EXISTS (another supplier ALSO
+    failing) as an anti-join, both on the order key with a supplier
+    inequality — the classic correlated-pair decorrelation."""
+    n3 = (_t(spark, sf, "nation").filter(F.col("n_name") == "NATION_3")
+          .select("n_nationkey"))
+    s = (_t(spark, sf, "supplier")
+         .join(F.broadcast(n3), F.col("s_nationkey") == F.col("n_nationkey"))
+         .select("s_suppkey", "s_name"))
+    o = (_t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+         .select("o_orderkey"))
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey",
+                                          "l_returnflag")
+    l1 = (li.filter(F.col("l_returnflag") == "R")
+          .join(o, F.col("l_orderkey") == o.o_orderkey)
+          .select("l_orderkey", "l_suppkey"))
+    l2 = li.select(F.col("l_orderkey").alias("k2"),
+                   F.col("l_suppkey").alias("s2"))
+    l3 = (li.filter(F.col("l_returnflag") == "R")
+          .select(F.col("l_orderkey").alias("k3"),
+                  F.col("l_suppkey").alias("s3")))
+    cand = l1.join(
+        l2, (l1.l_orderkey == F.col("k2"))
+        & (l1.l_suppkey != F.col("s2")), "left_semi")
+    cand = cand.join(
+        l3, (cand.l_orderkey == F.col("k3"))
+        & (cand.l_suppkey != F.col("s3")), "left_anti")
+    return (cand.join(F.broadcast(s), cand.l_suppkey == s.s_suppkey)
+            .groupBy("s_name").agg(F.count("*").alias("numwait"))
+            .orderBy(F.col("numwait").desc(), "s_name").limit(20))
+
+
+def q_tpch_q22_global_sales(spark, sf):
+    """Q22 shape (untapped customers: above-average balance, dormant —
+    no orders since 1999; phone country codes adapted to odd nation
+    keys): scalar AVG threshold broadcast back, NOT EXISTS as an
+    anti-join on date-filtered orders, per-nation aggregate. Cents
+    arithmetic keeps the threshold compare and sums engine-portable."""
+    grp = F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13)
+    c = (_t(spark, sf, "customer").filter(grp)
+         .select("c_custkey", "c_nationkey",
+                 _cents(F.col("c_acctbal")).alias("bal_cents")))
+    thr = (c.filter(F.col("bal_cents") > 0)
+           .agg(F.avg("bal_cents").alias("thr")))
+    o = (_t(spark, sf, "orders")
+         .filter(F.col("o_orderdate")
+                 >= F.lit("1999-01-01").cast("timestamp"))
+         .select("o_custkey"))
+    sel = (c.join(F.broadcast(thr), F.col("bal_cents") > F.col("thr"))
+           .drop("thr")
+           .join(o, c.c_custkey == o.o_custkey, "left_anti"))
+    return (sel.groupBy("c_nationkey")
+            .agg(F.count("*").alias("numcust"),
+                 F.sum("bal_cents").alias("totacctbal_cents"))
+            .orderBy("c_nationkey"))
+
+
+def q_codec_zorder_prune(spark, sf):
+    """Z-order layout gate: events encoded along the Morton curve of
+    (user_id, ts) — each chunk covers a small (user, time) rectangle, so
+    a conjunctive range predicate on BOTH dimensions prunes chunks on
+    each (a single-key sort only serves its leading column). The decode
+    path is unchanged: zone-map pruning + exact residual filters."""
+    import datetime as dt
+    import tempfile
+    from supersonic_spark.pipeline import (EncodeConfig, decode_table,
+                                           encode_table_zordered)
+    ev = _t(spark, sf, "events").select("event_id", "ts", "user_id",
+                                        "event_type", "value")
+    out = tempfile.mkdtemp(prefix="ss_zorder_gate_")
+    cfg = EncodeConfig(n_partitions=4, chunk_rows=512, conv_key="user_id",
+                       order_key="event_id", sort_keys=("ts", "event_id"))
+    encode_table_zordered(spark, ev, out, cfg,
+                          zorder_keys=("user_id", "ts"),
+                          fingerprint="zorder-gate")
+    lo = dt.datetime(2024, 1, 8)
+    hi = dt.datetime(2024, 1, 15)
+    dec = decode_table(spark, out, columns=["event_id", "ts", "user_id"],
+                       predicate=[("user_id", 30, 70), ("ts", lo, hi)])
+    return dec.select("event_id", "user_id",
+                      F.unix_micros(F.col("ts").cast("timestamp"))
+                      .alias("ts_us"))
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1668,6 +1884,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19_disjunctive_revenue": q_tpch_q19_disjunctive_revenue,
         "lsh_topk_multiprobe": q_lsh_topk_multiprobe,
         "codec_datetime_prune": q_codec_datetime_prune,
+        "codec_zorder_prune": q_codec_zorder_prune,
+        "tpch_q8_market_share": q_tpch_q8_market_share,
+        "tpch_q9_product_profit": q_tpch_q9_product_profit,
+        "tpch_q13_customer_distribution": q_tpch_q13_customer_distribution,
+        "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
+        "tpch_q16_supplier_relationship": q_tpch_q16_supplier_relationship,
+        "tpch_q21_waiting_suppliers": q_tpch_q21_waiting_suppliers,
+        "tpch_q22_global_sales": q_tpch_q22_global_sales,
         # --- backfill: least-recently-driver-proven (r1-r3) ---
         "scan_project": q_scan_project,
         "compute_expr": q_compute_expr,
@@ -1693,6 +1917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_distinct_rewrite": q_multi_distinct_rewrite,
         "avg_composed": q_avg_composed,
         "sort_topk": q_sort_topk,
+        # ---------------- end of 50-entry driver prefix ----------------
         "sort_case_insensitive": q_sort_case_insensitive,
         "sort_nulls_first": q_sort_nulls_first,
         "limit_offset": q_limit_offset,
@@ -1701,7 +1926,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersect_nations": q_intersect_nations,
         "except_nations": q_except_nations,
         "expr_math": q_expr_math,
-        # ---------------- end of 50-entry driver prefix ----------------
         "expr_string": q_expr_string,
         "expr_regexp": q_expr_regexp,
         "expr_regexp2": q_expr_regexp2,

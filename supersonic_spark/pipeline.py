@@ -589,11 +589,23 @@ def encode_table(spark: SparkSession, df: DataFrame, out_dir: str,
         raise ValueError(
             f"encode keys {missing} not in input columns {df.columns}; "
             "set conv_key/sort_keys/order_key in EncodeConfig")
-    os.makedirs(out_dir, exist_ok=True)
-    cfg_hash = cfg.config_hash(fingerprint)
-
     arranged = salted_repartition(df, cfg,
                                   sort_within=not cfg.sort_in_kernel)
+    return _encode_arranged(
+        spark, df, arranged, out_dir, cfg, fingerprint,
+        kernel_sort_keys=cfg.sort_keys if cfg.sort_in_kernel else None)
+
+
+def _encode_arranged(spark: SparkSession, df: DataFrame,
+                     arranged: DataFrame, out_dir: str, cfg: EncodeConfig,
+                     fingerprint: str,
+                     kernel_sort_keys: tuple[str, ...] | None = None,
+                     extra_meta: dict | None = None) -> DataFrame:
+    """Shared encode tail: write meta.json, run the chunking/codec kernel
+    over an already-arranged DataFrame (caller controls partitioning and
+    within-partition order), persist + return the manifest."""
+    os.makedirs(out_dir, exist_ok=True)
+    cfg_hash = cfg.config_hash(fingerprint)
     meta = {
         "spark_schema": df.schema.jsonValue(),
         "config_hash": cfg_hash,
@@ -608,19 +620,106 @@ def encode_table(spark: SparkSession, df: DataFrame, out_dir: str,
         # predicates against those
         "stats_version": STATS_VERSION,
     }
+    meta.update(extra_meta or {})
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(meta, f, indent=1)
 
     manifest = arranged.mapInArrow(
         _encoder(out_dir, cfg_hash, cfg.codec_overrides, cfg.chunk_rows,
                  entropy=cfg.entropy,
-                 sort_keys=cfg.sort_keys if cfg.sort_in_kernel else None,
+                 sort_keys=kernel_sort_keys,
                  prefetch=cfg.prefetch_batches,
                  bloom_cols=cfg.bloom_cols, bloom_bits=cfg.bloom_bits,
                  bloom_hashes=cfg.bloom_hashes),
         schema=MANIFEST_SCHEMA)
     manifest.write.mode("overwrite").parquet(os.path.join(out_dir, "manifest"))
     return spark.read.parquet(os.path.join(out_dir, "manifest"))
+
+
+def _zorder_long_expr(df: DataFrame, name: str):
+    """An order-preserving int64 view of a z-order key column: integers
+    cast, timestamps -> µs since epoch, dates -> days since epoch. Other
+    types (notably strings/floats) are rejected — Morton interleave
+    needs a total order with meaningful fixed-width bits."""
+    t = df.schema[name].dataType.typeName()
+    col = F.col(name)
+    if t in ("byte", "short", "integer", "long"):
+        return col.cast("long")
+    if t in ("timestamp", "timestamp_ntz"):
+        return F.unix_micros(col.cast("timestamp"))
+    if t == "date":
+        return F.unix_date(col)
+    raise ValueError(
+        f"zorder key {name!r} has unsupported type {t}; use an "
+        "integer/timestamp/date column")
+
+
+def zorder_key_expr(norm_cols: list, mins: list[int], maxes: list[int]):
+    """Morton (Z-curve) key over 2-3 pre-normalized int64 columns: each
+    value is range-scaled to `bits` = 62//d bits (double-precision scale
+    then clamp — layout only; zone maps stay exact), and bit i of
+    dimension ci lands at position i*d + ci. Pure codegen bitwise
+    expressions (~3 ops per bit), no UDF. NULL keys clamp to the low
+    corner so they cluster instead of scattering."""
+    d = len(norm_cols)
+    bits = 62 // d
+    maxv = (1 << bits) - 1
+    terms = []
+    for ci, (c, lo, hi) in enumerate(zip(norm_cols, mins, maxes)):
+        span = float(max(hi - lo, 1))
+        scaled = (((F.coalesce(c, F.lit(lo)) - F.lit(lo)).cast("double")
+                   / F.lit(span)) * F.lit(float(maxv))).cast("long")
+        norm = F.least(F.lit(maxv).cast("long"),
+                       F.greatest(F.lit(0).cast("long"), scaled))
+        for i in range(bits):
+            terms.append(F.shiftleft(
+                F.shiftrightunsigned(norm, i).bitwiseAND(F.lit(1)),
+                i * d + ci))
+    z = terms[0]
+    for t in terms[1:]:
+        z = z.bitwiseOR(t)
+    return z
+
+
+def encode_table_zordered(spark: SparkSession, df: DataFrame, out_dir: str,
+                          cfg: EncodeConfig | None = None,
+                          zorder_keys: tuple[str, ...] = (),
+                          fingerprint: str = "") -> DataFrame:
+    """Z-order layout encode (the Delta/Iceberg OPTIMIZE ZORDER analogue
+    for the block store): arrange rows along the Morton curve of 2-3
+    numeric/timestamp key columns before chunking, so each chunk covers
+    a small hyper-rectangle of key space and the per-chunk zone maps are
+    tight on EVERY z key simultaneously — range predicates on ANY of the
+    keys prune chunks, where a single-key sort only serves its leading
+    column. Costs one column-pruned min/max scan (or table stats, when a
+    catalog carries them) + one range shuffle; at 100 TB this replaces
+    per-query full scans on the non-leading dimensions, the classic
+    multi-dimensional-clustering trade. Decode/pruning are unchanged —
+    the layout is invisible to readers beyond tighter stats."""
+    cfg = cfg or EncodeConfig()
+    if not 2 <= len(zorder_keys) <= 3:
+        raise ValueError("zorder_keys needs 2 or 3 columns, got "
+                         f"{zorder_keys!r}")
+    missing = [c for c in zorder_keys if c not in df.columns]
+    if missing:
+        raise ValueError(f"zorder keys {missing} not in {df.columns}")
+    norm = [_zorder_long_expr(df, k) for k in zorder_keys]
+    bounds = df.agg(*[f for i, c in enumerate(norm)
+                      for f in (F.min(c).alias(f"mn{i}"),
+                                F.max(c).alias(f"mx{i}"))]).collect()[0]
+    mins = [bounds[f"mn{i}"] for i in range(len(norm))]
+    maxes = [bounds[f"mx{i}"] for i in range(len(norm))]
+    if any(v is None for v in mins + maxes):
+        raise ValueError("zorder keys are all-NULL or the table is empty")
+    z = zorder_key_expr(norm, mins, maxes)
+    arranged = (df.withColumn("_z", z)
+                  .repartitionByRange(cfg.n_partitions, F.col("_z"))
+                  .sortWithinPartitions("_z")
+                  .drop("_z"))
+    return _encode_arranged(
+        spark, df, arranged, out_dir, cfg,
+        fingerprint=f"{fingerprint}|zorder:{','.join(zorder_keys)}",
+        extra_meta={"zorder_keys": list(zorder_keys)})
 
 
 def bucketize_table(spark: SparkSession, df: DataFrame, dest_dir: str,

@@ -1220,6 +1220,120 @@ WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
   AND ts <= TIMESTAMP '2024-01-12 00:00:00'
 """
 
+ORACLES["tpch_q8_market_share"] = """
+SELECT yr,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_6' THEN vol_cents ELSE 0 END)
+            AS BIGINT) AS nation_cents,
+       CAST(SUM(vol_cents) AS BIGINT) AS total_cents,
+       round(SUM(CASE WHEN supp_nation = 'NATION_6' THEN vol_cents ELSE 0 END)
+             ::DOUBLE / SUM(vol_cents), 4) AS mkt_share
+FROM (
+  SELECT year(o_orderdate) AS yr, n2.n_name AS supp_nation,
+         CAST(round(l_extendedprice*(1-l_discount)*100, 0) AS BIGINT)
+           AS vol_cents
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey AND n1.n_regionkey = 1
+  JOIN part     ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate <  TIMESTAMP '1997-01-01')
+GROUP BY yr ORDER BY yr
+"""
+
+ORACLES["tpch_q9_product_profit"] = """
+SELECT nation, yr, CAST(SUM(amount_cents) AS BIGINT) AS profit_cents
+FROM (
+  SELECT n_name AS nation, year(o_orderdate) AS yr,
+         CAST(round((l_extendedprice*(1-l_discount)
+                     - p_retailprice*0.6*l_quantity)*100, 0) AS BIGINT)
+           AS amount_cents
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey AND p_type = 'STANDARD'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN orders   ON l_orderkey = o_orderkey)
+GROUP BY nation, yr ORDER BY nation, yr DESC
+"""
+
+ORACLES["tpch_q13_customer_distribution"] = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey) t
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+ORACLES["tpch_q15_top_supplier"] = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*100, 0)
+                       AS BIGINT)) AS BIGINT) AS total_rev_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_rev_cents
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_rev_cents = (SELECT max(total_rev_cents) FROM rev)
+ORDER BY s_suppkey
+"""
+
+ORACLES["tpch_q16_supplier_relationship"] = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#45' AND p_type <> 'MEDIUM'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+ORACLES["tpch_q21_waiting_suppliers"] = """
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders   ON l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey AND n_name = 'NATION_3'
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
+"""
+
+ORACLES["tpch_q22_global_sales"] = """
+WITH c AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal*100, 0) AS BIGINT) AS bal_cents
+  FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)),
+thr AS (SELECT avg(bal_cents) AS thr FROM c WHERE bal_cents > 0)
+SELECT c_nationkey, count(*) AS numcust,
+       CAST(SUM(bal_cents) AS BIGINT) AS totacctbal_cents
+FROM c
+WHERE bal_cents > (SELECT thr FROM thr)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+ORACLES["codec_zorder_prune"] = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us
+FROM events
+WHERE user_id BETWEEN 30 AND 70
+  AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+  AND ts <= TIMESTAMP '2024-01-15 00:00:00'
+"""
+
 
 def _lsh_topk_multiprobe_oracle(n_planes: int = 8, dim: int = 64,
                                 k: int = 20) -> str:

@@ -328,3 +328,77 @@ def test_lsh_multiprobe_recall_monotone(spark):
     assert len(r1) >= len(r0)
     if r0 and len(r0) == len(r1):
         assert sum(r.cos_sim for r in r1) >= sum(r.cos_sim for r in r0) - 1e-9
+
+
+def test_zorder_prunes_both_dimensions(spark, tmp_path):
+    """Morton-layout encode: zone maps must prune chunks for a range
+    predicate on EITHER z key, where the single-sort layout only prunes
+    its leading sort column; results stay exact."""
+    from supersonic_spark.pipeline import (EncodeConfig, _pruned_chunks,
+                                           decode_table, encode_table,
+                                           encode_table_zordered)
+
+    n = 32768
+    df = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        ((F.col("id") * 7919) % 256).alias("user_id"),
+        F.col("id").alias("t"))
+    cfg = EncodeConfig(n_partitions=4, chunk_rows=512, conv_key="user_id",
+                       order_key="event_id", sort_keys=("t", "event_id"))
+    z_out = str(tmp_path / "enc_z")
+    encode_table_zordered(spark, df, z_out, cfg,
+                          zorder_keys=("user_id", "t"), fingerprint="z5")
+    s_out = str(tmp_path / "enc_s")
+    encode_table(spark, df, s_out, cfg, fingerprint="s5")
+
+    def kept(out, preds):
+        keep = _pruned_chunks(spark, out, preds)
+        return sum(len(s) for s in keep.values())
+
+    def total(out):
+        return (spark.read.parquet(out + "/manifest")
+                .filter(F.col("column") == "user_id")
+                .select("partition_id", "chunk_id").distinct().count())
+
+    tz, ts_ = total(z_out), total(s_out)
+    pred_u = [("user_id", 10, 25)]        # 1/16 of the user range
+    pred_t = [("t", 1000, 3000)]          # ~1/16 of the time range
+    assert kept(z_out, pred_u) < 0.5 * tz      # non-leading dim prunes
+    assert kept(z_out, pred_t) < 0.5 * tz      # leading dim still prunes
+    # the conv-clustered layout (hash(user) shuffle key, then event_id)
+    # prunes user_id only at PARTITION grain and t not at all — z-order
+    # must beat it on BOTH dimensions at chunk grain
+    assert kept(z_out, pred_u) < kept(s_out, pred_u)
+    assert kept(z_out, pred_t) < kept(s_out, pred_t)
+    assert kept(s_out, pred_t) == ts_
+
+    got = sorted(r.event_id for r in
+                 decode_table(spark, z_out, columns=["event_id", "user_id"],
+                              predicate=pred_u).collect())
+    want = sorted(r.event_id for r in
+                  df.filter(F.col("user_id").between(10, 25)).collect())
+    assert got == want and len(got) > 0
+
+    # conjunction across both dimensions
+    both = pred_u + pred_t
+    got2 = sorted(r.event_id for r in
+                  decode_table(spark, z_out, columns=["event_id"],
+                               predicate=both).collect())
+    want2 = sorted(r.event_id for r in
+                   df.filter(F.col("user_id").between(10, 25)
+                             & F.col("t").between(1000, 3000)).collect())
+    assert got2 == want2
+    assert kept(z_out, both) <= min(kept(z_out, pred_u), kept(z_out, pred_t))
+
+
+def test_zorder_key_validation(spark):
+    from supersonic_spark.pipeline import (EncodeConfig,
+                                           encode_table_zordered)
+    df = spark.range(10).select(F.col("id"),
+                                F.col("id").cast("string").alias("s"))
+    with pytest.raises(ValueError, match="2 or 3"):
+        encode_table_zordered(spark, df, "/tmp/x", EncodeConfig(),
+                              zorder_keys=("id",))
+    with pytest.raises(ValueError, match="unsupported type"):
+        encode_table_zordered(spark, df, "/tmp/x", EncodeConfig(),
+                              zorder_keys=("id", "s"))
