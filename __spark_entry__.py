@@ -1598,6 +1598,24 @@ def q_lsh_topk_multiprobe(spark, sf):
     return lsh_topk_arrow(e, q, 20, n_planes=8, hamming=1)
 
 
+def q_lsh_topk_indexed(spark, sf):
+    """Write-time LSH index (parquet partitioned by sign bucket) +
+    Hamming-ball probe: the probe reads ONLY the probed buckets'
+    directories (PartitionFilters pruning), then the exact Arrow scorer.
+    Same candidate set as the scan-path multi-probe, so the same SQL
+    oracle applies."""
+    import tempfile
+    import pyarrow.parquet as pq
+    from supersonic_spark.ann import build_lsh_index, lsh_topk_indexed
+    e = _t(spark, sf, "embeddings")
+    q = pq.read_table(f"{sf}/embeddings.parquet",
+                      columns=["vec_id", "embedding"]) \
+          .column("embedding")[0].as_py()
+    idx_dir = tempfile.mkdtemp(prefix="ss_lsh_idx_")
+    build_lsh_index(spark, e, idx_dir, dim=len(q), n_planes=8)
+    return lsh_topk_indexed(spark, idx_dir, q, 20, n_planes=8, hamming=1)
+
+
 def q_codec_datetime_prune(spark, sf):
     """DATETIME-predicate chunk pruning through the codec stack: events
     encoded time-sorted, decoded under a (ts, lo, hi) range — timestamp
@@ -1943,6 +1961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "range_join_bucketed": q_range_join_bucketed,
+        "lsh_topk_indexed": q_lsh_topk_indexed,
         "cube_agg": q_cube_agg,
         # --- driver-proven in round 4 ---
         "rollup_agg": q_rollup_agg,

@@ -514,6 +514,39 @@ def ivf_topk_indexed(spark, index_dir: str, query: list[float], k: int,
     return cosine_topk_arrow(cand, query, k, id_col, vec_col)
 
 
+def build_lsh_index(spark, df: DataFrame, out_dir: str, dim: int,
+                    n_planes: int = 8, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> str:
+    """WRITE-TIME LSH index: assign sign buckets with the Arrow kernel
+    (lsh_assign_arrow) and persist parquet PARTITIONED BY lsh_bucket —
+    the sign-hash twin of build_ivf_index. A probe (single bucket or a
+    Hamming ball, see lsh_topk_indexed) reads ONLY matching bucket
+    directories via partition pruning, so query cost is the probed
+    fraction of the table. Shuffle-free to build; deterministic planes,
+    so probe-side bucket math needs no stored metadata."""
+    assigned = lsh_assign_arrow(df, dim, n_planes, id_col, vec_col)
+    assigned.write.mode("overwrite").partitionBy("lsh_bucket") \
+        .parquet(out_dir)
+    return out_dir
+
+
+def lsh_topk_indexed(spark, index_dir: str, query: list[float], k: int,
+                     n_planes: int = 8, hamming: int = 1,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Probe a build_lsh_index layout: compute the query bucket's
+    Hamming-<=d ball (multi-probe), read only those bucket directories
+    (the scan's PartitionFilters carries lsh_bucket IN (...)), then the
+    exact Arrow scorer over the candidates. Scanned fraction ~=
+    sum_{i<=d} C(planes, i) / 2^planes of the table."""
+    probes = multiprobe_buckets(_py_bucket(query, n_planes), n_planes,
+                                hamming)
+    cand = (spark.read.parquet(index_dir)
+            .filter(F.col("lsh_bucket").isin(probes))
+            .select(id_col, vec_col))
+    return cosine_topk_arrow(cand, query, k, id_col, vec_col)
+
+
 def ivf_topk(df: DataFrame, query: list[float], k: int,
              centroids: list[list[float]], n_probe: int = 2,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

@@ -1370,6 +1370,9 @@ ORDER BY cos_sim DESC, vec_id ASC LIMIT {k}
 
 
 ORACLES["lsh_topk_multiprobe"] = _lsh_topk_multiprobe_oracle()
+# the indexed probe reads the same Hamming-ball candidate set out of the
+# bucket-partitioned layout — identical result, identical oracle
+ORACLES["lsh_topk_indexed"] = _lsh_topk_multiprobe_oracle()
 
 # codec_selection_report: the selector's choices on the deterministic
 # sf0.01 documents table, pinned as literals (VERDICT r4 item 7) — the

@@ -73,7 +73,9 @@ def column_stats(arr: pa.Array | pa.ChunkedArray) -> ColumnStats:
     pfor_gain = 1.0
     if typecode in INT_TYPECODES:
         v = s.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.int64)
-        range_bits = int(v.max() - v.min()).bit_length()
+        # Python-int subtraction: int64 extremes (e.g. INT64_MIN..MAX
+        # property inputs) overflow a numpy scalar diff
+        range_bits = (int(v.max()) - int(v.min())).bit_length()
         vc = c.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.int64)
         if nc > 1:
             d = np.diff(vc)

@@ -402,3 +402,42 @@ def test_zorder_key_validation(spark):
     with pytest.raises(ValueError, match="unsupported type"):
         encode_table_zordered(spark, df, "/tmp/x", EncodeConfig(),
                               zorder_keys=("id", "s"))
+
+
+def test_lsh_indexed_partition_pruning(spark, tmp_path):
+    """build_lsh_index writes parquet partitioned by sign bucket; a
+    Hamming-ball probe reads only probed buckets (PartitionFilters) and
+    matches the scan-path multi-probe exactly; the full ball equals
+    brute force."""
+    from supersonic_spark.ann import (build_lsh_index, cosine_topk_arrow,
+                                      lsh_topk_arrow, lsh_topk_indexed,
+                                      multiprobe_buckets, _py_bucket)
+    from supersonic_spark.datagen import generate_clustered_embeddings
+
+    df = generate_clustered_embeddings(spark, 500, dim=16, n_clusters=4) \
+        .select("vec_id", "embedding")
+    idx = str(tmp_path / "lsh_idx")
+    build_lsh_index(spark, df, idx, dim=16, n_planes=6)
+    q = df.filter(F.col("vec_id") == 0).collect()[0].embedding
+
+    got = lsh_topk_indexed(spark, idx, q, 10, n_planes=6, hamming=1) \
+        .collect()
+    want = lsh_topk_arrow(df, q, 10, n_planes=6, hamming=1).collect()
+    assert [(r.vec_id, r.cos_sim) for r in got] == \
+           [(r.vec_id, r.cos_sim) for r in want]
+
+    full = lsh_topk_indexed(spark, idx, q, 10, n_planes=6, hamming=6) \
+        .collect()
+    exact = cosine_topk_arrow(df, q, 10).collect()
+    assert [(r.vec_id, r.cos_sim) for r in full] == \
+           [(r.vec_id, r.cos_sim) for r in exact]
+
+    probes = multiprobe_buckets(_py_bucket(list(q), 6), 6, 1)
+    pruned = (spark.read.parquet(idx)
+              .filter(F.col("lsh_bucket").isin(probes)))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lsh_bucket" in plan.split(
+        "PartitionFilters", 1)[1][:200]
+    assert set(r.lsh_bucket for r in
+               pruned.select("lsh_bucket").distinct().collect()) \
+        <= set(probes)
