@@ -68,11 +68,16 @@ MANIFEST_SCHEMA = StructType([
 
 
 # Manifest-stats contract version. 2 = timestamp zone maps normalized to
-# ns-since-epoch + vsum_int/n_nulls columns present (the current contract);
-# manifests without the marker AND without those columns predate the ns
-# normalization, so their datetime zone maps are raw Arrow-unit int64 (µs
-# from Spark's transfer) and must not be zone-pruned with ns bounds.
-STATS_VERSION = 2
+# ns-since-epoch + vsum_int/n_nulls columns present; manifests without
+# the marker AND without those columns predate the ns normalization, so
+# their datetime zone maps are raw Arrow-unit int64 (µs from Spark's
+# transfer) and must not be zone-pruned with ns bounds. 3 = bloom blobs
+# built with the crc32+adler32+splitmix hash family — blobs from older
+# manifests used a different hash and probing them with the current one
+# yields FALSE NEGATIVES (silently missing rows), so bloom pruning is
+# skipped entirely below version 3 (zone maps + residual filters remain
+# exact; only the bloom speedup is lost on pre-upgrade tables).
+STATS_VERSION = 3
 
 _SPLITMIX_C1, _SPLITMIX_C2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
 _GOLDEN64 = 0x9E3779B97F4A7C15
@@ -1245,6 +1250,11 @@ def _pred_survivor_dfs(spark: SparkSession, out_dir: str,
         _meta = {}
     ns_stats = (_meta.get("stats_version", 0) >= 2
                 or "vsum_int" in man.columns or "n_nulls" in man.columns)
+    # bloom blobs are only probeable if they were built with the CURRENT
+    # hash family (stats_version >= 3): probing an older blob with a
+    # different hash produces false NEGATIVES — silently dropped rows —
+    # the one failure mode pruning must never have
+    blooms_ok = _meta.get("stats_version", 0) >= 3
     import datetime as _dt
     sels: list[DataFrame] = []
     for pred in predicates:
@@ -1275,7 +1285,7 @@ def _pred_survivor_dfs(spark: SparkSession, out_dir: str,
         keep_cond = (vmin.isNull() | vmax.isNull()
                      | ((vmax >= F.lit(lo)) & (vmin <= F.lit(hi))))
         sel = man.filter(F.col("column") == pcol).filter(keep_cond)
-        if bloomable and "bloom_b64" in man.columns:
+        if bloomable and blooms_ok and "bloom_b64" in man.columns:
             # point lookup(s): probe the per-chunk blooms DISTRIBUTED (the
             # blobs never reach the driver — only surviving ids do); a
             # chunk survives if ANY member may be present

@@ -441,3 +441,46 @@ def test_lsh_indexed_partition_pruning(spark, tmp_path):
     assert set(r.lsh_bucket for r in
                pruned.select("lsh_bucket").distinct().collect()) \
         <= set(probes)
+
+
+def test_bloom_pruning_version_guard(spark, tmp_path):
+    """Bloom blobs written before the hash-family change (stats_version
+    < 3) false-negative under the current probe — the real-table bug
+    found in round 5's point-lookup bench. Pruning must SKIP blooms on
+    such manifests (exact results, zone-only pruning) and use them on
+    current ones."""
+    import json
+    from supersonic_spark.pipeline import (_pruned_chunks, decode_table)
+    src, out = _encode_fixture(spark, tmp_path, "bloomver",
+                               bloom=("conv_id",))
+    target = src.select("conv_id").distinct().limit(1).collect()[0][0]
+    pred = [("conv_id", target, target)]
+    want = sorted(map(tuple, src.filter(F.col("conv_id") == target)
+                      .select("conv_id", "turn_idx").collect()))
+
+    kept_v3 = sum(len(s) for s in _pruned_chunks(spark, out, pred).values())
+    got = sorted(map(tuple,
+                     decode_table(spark, out, predicate=pred[0])
+                     .select("conv_id", "turn_idx").collect()))
+    assert got == want and len(got) > 0
+
+    # downgrade the manifest contract to v2: same blobs, declared older
+    # hash family — pruning must stop trusting them
+    mpath = os.path.join(out, "meta.json")
+    meta = json.load(open(mpath))
+    meta["stats_version"] = 2
+    json.dump(meta, open(mpath, "w"))
+    kept_v2 = sum(len(s) for s in _pruned_chunks(spark, out, pred).values())
+    assert kept_v2 >= kept_v3     # no bloom -> equal or more chunks kept
+    got2 = sorted(map(tuple,
+                      decode_table(spark, out, predicate=pred[0])
+                      .select("conv_id", "turn_idx").collect()))
+    assert got2 == want
+
+    # and on a conv-clustered layout the bloom genuinely prunes at v3:
+    # the shuffle spreads the hash space, so a fake "wrong-hash" blob
+    # situation is exactly what v2 declares; v3 must be < all chunks
+    total = (spark.read.parquet(out + "/manifest")
+             .filter(F.col("column") == "conv_id")
+             .select("partition_id", "chunk_id").distinct().count())
+    assert kept_v3 < total
