@@ -295,6 +295,10 @@ class EncodeConfig:
             "entropy": self.entropy,
             "bloom": [list(self.bloom_cols), self.bloom_bits,
                       self.bloom_hashes],
+            # resume markers carry manifest rows (incl. bloom blobs);
+            # a stats-contract bump must invalidate them or a resume
+            # would restore old-format stats under a new-version meta
+            "stats_version": STATS_VERSION,
             "fingerprint": fingerprint,
         }, sort_keys=True).encode()
         return hashlib.md5(blob).hexdigest()[:12]
