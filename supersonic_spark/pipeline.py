@@ -744,7 +744,72 @@ def bucketize_table(spark: SparkSession, df: DataFrame, dest_dir: str,
     tasks."""
     (df.repartition(n_buckets, F.col(conv_key))
        .write.mode("overwrite").parquet(dest_dir))
+    with open(os.path.join(dest_dir, "_buckets.json"), "w") as f:
+        json.dump({"n_buckets": n_buckets, "conv_key": conv_key}, f)
     return dest_dir
+
+
+def upsert_bucketized(spark: SparkSession, updates: DataFrame,
+                      bucket_dir: str) -> list[int]:
+    """MERGE into a bucketize_table layout at bucket-file grain: every
+    conversation present in `updates` is REPLACED wholesale (delete +
+    insert), new conversations are inserted — and only the bucket files
+    whose hash bucket is touched are rewritten. Returns the affected
+    bucket ids.
+
+    Routing reproduces Spark's repartition(n, col) assignment exactly:
+    HashPartitioning's partition id is pmod(murmur3(col), n), which is
+    pmod(F.hash(col), n) — so an update lands in the same bucket file
+    bucketize_table put its conversation in, keeping the
+    whole-conversation-per-file invariant encode_table_prebucketed
+    needs. A following encode_table_prebucketed run then re-encodes
+    ONLY the rewritten files (per-file fingerprints; untouched buckets
+    resume) — the incremental-maintenance path for a 10^12-turn
+    transcript table, where an upsert touching k conversations costs
+    O(k bucket files), not a table rewrite. File replacement is
+    per-bucket atomic (tmp + rename), same semantics as compaction."""
+    import re as _re
+    import uuid as _uuid
+    with open(os.path.join(bucket_dir, "_buckets.json")) as f:
+        bmeta = json.load(f)
+    n, conv_key = bmeta["n_buckets"], bmeta["conv_key"]
+    bid = F.pmod(F.hash(F.col(conv_key)), F.lit(n))
+    affected = sorted(r["b"] for r in
+                      updates.select(bid.alias("b")).distinct().collect())
+    if not affected:
+        return []
+    by_num: dict[int, str] = {}
+    for p in os.listdir(bucket_dir):
+        m = _re.match(r"part-(\d{5})-.*\.parquet$", p)
+        if m:
+            by_num[int(m.group(1))] = os.path.join(bucket_dir, p)
+    old_files = [by_num[b] for b in affected if b in by_num]
+    upd_keys = updates.select(conv_key).distinct()
+    base = (spark.read.parquet(*old_files)
+            if old_files else updates.limit(0))
+    merged = (base.join(F.broadcast(upd_keys), conv_key, "left_anti")
+              .unionByName(updates.select(*base.columns)))
+    tmp = os.path.join(bucket_dir,
+                       f"_upsert_tmp_{_uuid.uuid4().hex[:8]}")
+    # same repartition → partition i == bucket i == tmp part-{i:05d} file
+    merged.repartition(n, F.col(conv_key)).write.parquet(tmp)
+    stamp = _uuid.uuid4().hex[:8]
+    for p in os.listdir(tmp):
+        m = _re.match(r"part-(\d{5})-.*\.parquet$", p)
+        if not m:
+            continue
+        b = int(m.group(1))
+        # keep the part-NNNNN prefix so the file holds its sorted
+        # position in encode_table_prebucketed's path list
+        os.replace(os.path.join(tmp, p),
+                   os.path.join(bucket_dir, f"part-{b:05d}-ups{stamp}"
+                                            ".parquet"))
+        old = by_num.get(b)
+        if old and os.path.exists(old):
+            os.remove(old)
+    import shutil
+    shutil.rmtree(tmp, ignore_errors=True)
+    return affected
 
 
 def _normalize_arrow_units(tbl: pa.Table) -> pa.Table:

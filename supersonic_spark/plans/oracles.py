@@ -1326,6 +1326,13 @@ WHERE bal_cents > (SELECT thr FROM thr)
 GROUP BY c_nationkey ORDER BY c_nationkey
 """
 
+ORACLES["codec_upsert"] = """
+SELECT event_id, user_id,
+       CASE WHEN user_id IN (3, 7) THEN 'UPD_' || event_type
+            ELSE event_type END AS event_type
+FROM events
+"""
+
 ORACLES["codec_zorder_prune"] = """
 SELECT event_id, user_id, epoch_us(ts) AS ts_us
 FROM events

@@ -484,3 +484,45 @@ def test_bloom_pruning_version_guard(spark, tmp_path):
              .filter(F.col("column") == "conv_id")
              .select("partition_id", "chunk_id").distinct().count())
     assert kept_v3 < total
+
+
+def test_upsert_bucketized_incremental(spark, tmp_path):
+    """Upsert replaces whole conversations at bucket-file grain; a
+    following prebucketed encode re-encodes ONLY the touched buckets
+    (per-file fingerprints), and the decoded table equals
+    base-minus-updated plus updates exactly."""
+    from supersonic_spark.datagen import generate_transcripts
+    from supersonic_spark.pipeline import (EncodeConfig, bucketize_table,
+                                           decode_table,
+                                           encode_table_prebucketed,
+                                           upsert_bucketized)
+    src = generate_transcripts(spark, n_convs=200, seed=7)
+    bdir = str(tmp_path / "b")
+    bucketize_table(spark, src, bdir, n_buckets=8)
+    out = str(tmp_path / "enc_ups")
+    cfg = EncodeConfig(chunk_rows=2048)
+    encode_table_prebucketed(spark, bdir, out, cfg, fingerprint="ups")
+
+    some = [r.conv_id for r in
+            src.select("conv_id").distinct().limit(3).collect()]
+    upd = (src.filter(F.col("conv_id").isin(some))
+           .withColumn("text", F.concat(F.lit("UPD:"), F.col("text"))))
+    new = (generate_transcripts(spark, n_convs=2, seed=99)
+           .withColumn("conv_id", F.concat(F.lit("new-"),
+                                           F.col("conv_id"))))
+    updates = upd.unionByName(new)
+
+    affected = upsert_bucketized(spark, updates, bdir)
+    assert affected and len(affected) <= 8
+
+    m2 = encode_table_prebucketed(spark, bdir, out, cfg,
+                                  fingerprint="ups")
+    fresh = (m2.filter(~F.col("resumed"))
+             .select("partition_id").distinct().count())
+    assert fresh == len(affected)          # only touched buckets re-encode
+
+    got = sorted(map(tuple, decode_table(spark, out).collect()))
+    want = sorted(map(tuple,
+                      src.filter(~F.col("conv_id").isin(some))
+                      .unionByName(updates).collect()))
+    assert got == want and len(got) > 0
