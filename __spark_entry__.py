@@ -1834,6 +1834,92 @@ def q_tpch_q22_global_sales(spark, sf):
             .orderBy("c_nationkey"))
 
 
+def q_tpch_q2_min_cost_supplier(spark, sf):
+    """Q2 shape (best supplier per part in a region; supply cost adapted
+    to s_acctbal, part-supplier bridge adapted to lineitem — no partsupp
+    table): region-filtered suppliers x eligible parts, per-part MIN
+    cost as a re-join against the grouped minimum (the decorrelated
+    correlated subquery), ordered + limited output."""
+    elig = (_t(spark, sf, "lineitem")
+            .select(F.col("l_partkey").alias("pk"),
+                    F.col("l_suppkey").alias("sk")).distinct())
+    p = (_t(spark, sf, "part")
+         .filter((F.col("p_size") <= 15) & (F.col("p_type") == "LARGE"))
+         .select("p_partkey"))
+    n = (_t(spark, sf, "nation").filter(F.col("n_regionkey") == 3)
+         .select("n_nationkey", "n_name"))
+    s = (_t(spark, sf, "supplier")
+         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+         .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    cand = (elig.join(F.broadcast(p), F.col("pk") == F.col("p_partkey"))
+            .join(F.broadcast(s), F.col("sk") == F.col("s_suppkey"))
+            .select("p_partkey", "s_name", "n_name", "s_acctbal"))
+    mn = cand.groupBy(F.col("p_partkey").alias("mpk")) \
+             .agg(F.min("s_acctbal").alias("mc"))
+    return (cand.join(F.broadcast(mn),
+                      (cand.p_partkey == F.col("mpk"))
+                      & (cand.s_acctbal == F.col("mc")))
+            .select("p_partkey", "s_name", "n_name",
+                    _cents(F.col("s_acctbal")).alias("acctbal_cents"))
+            .orderBy(F.col("acctbal_cents").desc(), "n_name", "s_name",
+                     "p_partkey")
+            .limit(100))
+
+
+def q_tpch_q11_important_stock(spark, sf):
+    """Q11 shape (parts whose inventory value for one nation's suppliers
+    exceeds a fraction of the total; value adapted to quantity x
+    retailprice over the lineitem bridge): grouped sums filtered by a
+    scalar-subquery threshold, the HAVING > f * (SELECT SUM ...) plan —
+    the scalar joins back as a one-row broadcast."""
+    n = (_t(spark, sf, "nation").filter(F.col("n_name") == "NATION_2")
+         .select("n_nationkey"))
+    s = (_t(spark, sf, "supplier")
+         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+         .select("s_suppkey"))
+    p = _t(spark, sf, "part").select("p_partkey", "p_retailprice")
+    li = _t(spark, sf, "lineitem").select("l_partkey", "l_suppkey",
+                                          "l_quantity")
+    v = (li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+         .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+         .select("l_partkey",
+                 _cents(F.col("l_quantity") * F.col("p_retailprice"))
+                 .alias("val_cents")))
+    per = v.groupBy("l_partkey").agg(F.sum("val_cents").alias("value_cents"))
+    tot = per.agg(F.sum("value_cents").alias("t"))
+    return (per.join(F.broadcast(tot),
+                     F.col("value_cents") > 0.001 * F.col("t"))
+            .select("l_partkey", "value_cents")
+            .orderBy(F.col("value_cents").desc(), "l_partkey"))
+
+
+def q_tpch_q20_excess_availability(spark, sf):
+    """Q20 shape (suppliers holding excess stock of promoted parts;
+    availability adapted to shipped quantity over the lineitem bridge):
+    two-level aggregation — per (part, supplier) quantity vs the
+    per-part total — then the >8%-share filter projected up to distinct
+    nation-filtered suppliers."""
+    pt = (_t(spark, sf, "part").filter(F.col("p_type") == "PROMO")
+          .select("p_partkey"))
+    li = _t(spark, sf, "lineitem").select("l_partkey", "l_suppkey",
+                                          "l_quantity")
+    sq = (li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty")))
+    tq = sq.groupBy(F.col("l_partkey").alias("tpk")) \
+           .agg(F.sum("qty").alias("tot"))
+    n = (_t(spark, sf, "nation").filter(F.col("n_name") == "NATION_4")
+         .select("n_nationkey"))
+    s = (_t(spark, sf, "supplier")
+         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+         .select("s_suppkey", "s_name"))
+    return (sq.join(F.broadcast(tq), sq.l_partkey == F.col("tpk"))
+            .filter(F.col("qty") > 0.08 * F.col("tot"))
+            .join(F.broadcast(s), sq.l_suppkey == s.s_suppkey)
+            .select("s_suppkey", "s_name").distinct()
+            .orderBy("s_suppkey"))
+
+
 def q_codec_upsert(spark, sf):
     """Incremental MERGE into the encoded table: events bucketized by
     user_id, two users' conversations replaced wholesale via
@@ -1993,6 +2079,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "range_join_bucketed": q_range_join_bucketed,
         "lsh_topk_indexed": q_lsh_topk_indexed,
+        "tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,
+        "tpch_q11_important_stock": q_tpch_q11_important_stock,
+        "tpch_q20_excess_availability": q_tpch_q20_excess_availability,
         "cube_agg": q_cube_agg,
         # --- driver-proven in round 4 ---
         "rollup_agg": q_rollup_agg,

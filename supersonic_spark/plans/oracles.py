@@ -1326,6 +1326,55 @@ WHERE bal_cents > (SELECT thr FROM thr)
 GROUP BY c_nationkey ORDER BY c_nationkey
 """
 
+ORACLES["tpch_q2_min_cost_supplier"] = """
+WITH elig AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+              FROM lineitem),
+cand AS (
+  SELECT p_partkey, s_name, n_name, s_acctbal
+  FROM elig
+  JOIN part ON pk = p_partkey AND p_size <= 15 AND p_type = 'LARGE'
+  JOIN supplier ON sk = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey AND n_regionkey = 3),
+mn AS (SELECT p_partkey AS mpk, min(s_acctbal) AS mc
+       FROM cand GROUP BY p_partkey)
+SELECT p_partkey, s_name, n_name,
+       CAST(round(s_acctbal*100, 0) AS BIGINT) AS acctbal_cents
+FROM cand JOIN mn ON p_partkey = mpk AND s_acctbal = mc
+ORDER BY acctbal_cents DESC, n_name, s_name, p_partkey LIMIT 100
+"""
+
+ORACLES["tpch_q11_important_stock"] = """
+WITH v AS (
+  SELECT l_partkey,
+         CAST(round(l_quantity * p_retailprice * 100, 0) AS BIGINT)
+           AS val_cents
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_2'),
+per AS (SELECT l_partkey, CAST(SUM(val_cents) AS BIGINT) AS value_cents
+        FROM v GROUP BY l_partkey)
+SELECT l_partkey, value_cents
+FROM per
+WHERE value_cents > 0.001 * (SELECT SUM(value_cents) FROM per)
+ORDER BY value_cents DESC, l_partkey
+"""
+
+ORACLES["tpch_q20_excess_availability"] = """
+WITH sq AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+  GROUP BY l_partkey, l_suppkey),
+tq AS (SELECT l_partkey, SUM(qty) AS tot FROM sq GROUP BY l_partkey)
+SELECT DISTINCT s_suppkey, s_name
+FROM sq JOIN tq USING (l_partkey)
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_4'
+WHERE qty > 0.08 * tot
+ORDER BY s_suppkey
+"""
+
 ORACLES["codec_upsert"] = """
 SELECT event_id, user_id,
        CASE WHEN user_id IN (3, 7) THEN 'UPD_' || event_type
