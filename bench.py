@@ -64,7 +64,10 @@ def external_busy_cores(window_s: float = 2.0) -> float:
 # visible in /proc/stat, so wall-clock alone can't prove a calm window —
 # a fixed-work probe can.
 _CPU_PROBE_REF_SEC = 0.283
-_CPU_PROBE_CALM_FACTOR = 1.35     # probe within this of ref => calm
+# A 1.25x-slow pre-probe once preceded a 4x-throttled run (round 5), so
+# the factor is tight AND the probe repeats after the suite: throttling
+# that starts mid-run fails the post-probe and un-calms the artifact.
+_CPU_PROBE_CALM_FACTOR = 1.15     # probe within this of ref => calm
 
 
 def cpu_probe_sec(iters: int = 5) -> float:
@@ -195,6 +198,9 @@ def main():
 
     total = round(sum(query_secs.values()), 3)
     ext_after = external_busy_cores()
+    probe_after = cpu_probe_sec()
+    calm = (calm and probe_after <= _CPU_PROBE_CALM_FACTOR
+            * _CPU_PROBE_REF_SEC)
 
     def _recorded(path):
         """Load a campaign artifact, labeling it as RECORDED (not
@@ -239,6 +245,7 @@ def main():
         "ext_busy_cores_before": ext_before,
         "ext_busy_cores_after": ext_after,
         "cpu_probe_sec": probe_before,
+        "cpu_probe_after_sec": probe_after,
         "cpu_probe_ref_sec": _CPU_PROBE_REF_SEC,
         "calm": calm,
         "scaling": scaling,
