@@ -1834,6 +1834,32 @@ def q_tpch_q22_global_sales(spark, sf):
             .orderBy("c_nationkey"))
 
 
+def q_multimodal_frame_sample(spark, sf):
+    """Video-style frame sampling plumbing: documents' text bytes stand
+    in for media payloads, fixed-256-byte frames, every 2nd frame kept —
+    a 1->N Arrow explode whose byte arithmetic the SQL oracle replicates
+    exactly (a real cluster swaps the fixed-frame iterator for a
+    demuxer; the explode plumbing is identical)."""
+    from supersonic_spark.multimodal import sample_frames
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload"))
+    fr = sample_frames(d, "doc_id", "payload", every_n=2, frame_len=256)
+    return fr.select(F.col("id").alias("doc_id"), "frame_idx", "n_bytes")
+
+
+def q_multimodal_resize(spark, sf):
+    """Image-resize plumbing over binary payloads (deterministic stub
+    resizer — output length is a pinned function of the target dims, so
+    the oracle checks dims/size/row-coverage; clusters with PIL pass
+    resize_image_pil into the same kernel)."""
+    from supersonic_spark.multimodal import resize_images
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload"))
+    rz = resize_images(d, "doc_id", "payload", 32, 16)
+    return rz.select(F.col("id").alias("doc_id"), "out_width",
+                     "out_height", "n_bytes")
+
+
 def q_tpch_q2_min_cost_supplier(spark, sf):
     """Q2 shape (best supplier per part in a region; supply cost adapted
     to s_acctbal, part-supplier bridge adapted to lineitem — no partsupp
@@ -2082,6 +2108,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,
         "tpch_q11_important_stock": q_tpch_q11_important_stock,
         "tpch_q20_excess_availability": q_tpch_q20_excess_availability,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
+        "multimodal_resize": q_multimodal_resize,
         "cube_agg": q_cube_agg,
         # --- driver-proven in round 4 ---
         "rollup_agg": q_rollup_agg,

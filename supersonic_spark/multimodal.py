@@ -97,3 +97,143 @@ def extract_media_meta(df: DataFrame, id_col: str, payload_col: str,
 
     sel = df.select(df[id_col].alias(id_col), df[payload_col].alias(payload_col))
     return sel.mapInArrow(run, schema=MEDIA_META_SCHEMA)
+
+
+# --- resize + frame sampling -------------------------------------------------
+
+RESIZED_SCHEMA = ("id long, out_width int, out_height int, n_bytes int, "
+                  "crc32 long, resized binary")
+
+
+def resize_image_stub(payload: bytes, width: int, height: int) -> bytes:
+    """STUB resize: deterministic fake output bytes derived from the
+    payload crc + target dims (length = width*height//16 + 8), so tests
+    and oracles can pin sizes without a codec. Raises on empty payloads
+    the way a real decoder would."""
+    if not payload:
+        raise ValueError("empty media payload")
+    seed = zlib.crc32(payload) ^ (width << 16) ^ height
+    n = width * height // 16 + 8
+    out = (np.arange(n, dtype=np.uint32) * 2654435761 + seed) % 256
+    return out.astype(np.uint8).tobytes()
+
+
+def resize_image_pil(payload: bytes, width: int, height: int) -> bytes:
+    """Real resize via PIL (clusters that install it): PNG bytes out."""
+    import io
+    img = _PIL_Image.open(io.BytesIO(payload)).resize((width, height))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def resize_images(df: DataFrame, id_col: str, payload_col: str,
+                  width: int, height: int, resizer=None) -> DataFrame:
+    """Arrow-batched image resize over binary payloads: (id, out dims,
+    size, crc, resized bytes). resizer defaults to the deterministic
+    stub; pass resize_image_pil on clusters with real images — the
+    Spark-side schema/batching is identical either way. NULL/empty
+    payloads produce NULL outputs instead of failing the batch."""
+    resizer = resizer or resize_image_stub
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from .runtime import pin_worker_threads
+        pin_worker_threads()
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            ids = tbl.column(id_col).to_pylist()
+            payloads = tbl.column(payload_col).to_pylist()
+            outs = [resizer(p, width, height) if p else None
+                    for p in payloads]
+            yield pa.RecordBatch.from_pydict({
+                "id": pa.array(ids, pa.int64()),
+                "out_width": pa.array(
+                    [width if o is not None else None for o in outs],
+                    pa.int32()),
+                "out_height": pa.array(
+                    [height if o is not None else None for o in outs],
+                    pa.int32()),
+                "n_bytes": pa.array(
+                    [len(o) if o is not None else None for o in outs],
+                    pa.int32()),
+                "crc32": pa.array(
+                    [zlib.crc32(o) & 0xFFFFFFFF if o is not None else None
+                     for o in outs], pa.int64()),
+                "resized": pa.array(outs, pa.binary()),
+            })
+
+    sel = df.select(df[id_col].alias(id_col),
+                    df[payload_col].alias(payload_col))
+    return sel.mapInArrow(run, schema=RESIZED_SCHEMA)
+
+
+def pack_frames(frames: list[bytes]) -> bytes:
+    """Toy deterministic frame container: 4-byte big-endian length prefix
+    per frame. Stands in for a real video container; a cluster with
+    pyav/ffmpeg swaps iter_frames for a real demuxer and everything
+    downstream (the explode plumbing) is unchanged."""
+    out = bytearray()
+    for f in frames:
+        out += len(f).to_bytes(4, "big") + f
+    return bytes(out)
+
+
+def iter_frames(payload: bytes) -> Iterator[bytes]:
+    """Parse a pack_frames container; raises on truncation."""
+    off = 0
+    while off < len(payload):
+        if off + 4 > len(payload):
+            raise ValueError("truncated frame header")
+        n = int.from_bytes(payload[off:off + 4], "big")
+        off += 4
+        if off + n > len(payload):
+            raise ValueError("truncated frame body")
+        yield payload[off:off + n]
+        off += n
+
+
+FRAME_SCHEMA = "id long, frame_idx int, n_bytes int, frame binary"
+
+
+def sample_frames(df: DataFrame, id_col: str, payload_col: str,
+                  every_n: int = 1,
+                  frame_len: int | None = None) -> DataFrame:
+    """Frame sampling as a 1->N Arrow explode: every `every_n`-th frame
+    of each payload becomes its own row (id, frame_idx, n_bytes, frame).
+
+    frame_len=None parses the pack_frames container (the real-demuxer
+    seam); frame_len=K treats the payload as fixed-K-byte frames — pure
+    byte arithmetic, which is what the SQL oracle checks. Variable
+    output batch sizes exercise the real explode plumbing either way."""
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from .runtime import pin_worker_threads
+        pin_worker_threads()
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            ids = tbl.column(id_col).to_pylist()
+            payloads = tbl.column(payload_col).to_pylist()
+            oid, oidx, olen, ofr = [], [], [], []
+            for i, p in zip(ids, payloads):
+                if not p:
+                    continue
+                frames = (iter_frames(p) if frame_len is None else
+                          (p[o:o + frame_len]
+                           for o in range(0, len(p), frame_len)))
+                for j, f in enumerate(frames):
+                    if j % every_n:
+                        continue
+                    oid.append(i); oidx.append(j)
+                    olen.append(len(f)); ofr.append(f)
+            yield pa.RecordBatch.from_pydict({
+                "id": pa.array(oid, pa.int64()),
+                "frame_idx": pa.array(oidx, pa.int32()),
+                "n_bytes": pa.array(olen, pa.int32()),
+                "frame": pa.array(ofr, pa.binary()),
+            })
+
+    sel = df.select(df[id_col].alias(id_col),
+                    df[payload_col].alias(payload_col))
+    return sel.mapInArrow(run, schema=FRAME_SCHEMA)

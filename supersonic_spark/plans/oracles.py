@@ -1326,6 +1326,23 @@ WHERE bal_cents > (SELECT thr FROM thr)
 GROUP BY c_nationkey ORDER BY c_nationkey
 """
 
+ORACLES["multimodal_frame_sample"] = """
+SELECT doc_id, CAST(i AS INT) AS frame_idx,
+       CAST(least(256, octet_length(encode(text)) - i*256) AS INT)
+         AS n_bytes
+FROM documents,
+     UNNEST(generate_series(
+       0, CAST(floor((octet_length(encode(text))-1)/256) AS BIGINT), 2))
+       AS t(i)
+WHERE octet_length(encode(text)) > 0
+"""
+
+ORACLES["multimodal_resize"] = """
+SELECT doc_id, CAST(32 AS INT) AS out_width, CAST(16 AS INT) AS out_height,
+       CAST(32*16/16 + 8 AS INT) AS n_bytes
+FROM documents WHERE octet_length(encode(text)) > 0
+"""
+
 ORACLES["tpch_q2_min_cost_supplier"] = """
 WITH elig AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
               FROM lineitem),

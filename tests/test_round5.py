@@ -573,3 +573,63 @@ def test_iceberg_real_catalog_roundtrip(tmp_path):
         assert back.count() == 100
     finally:
         spark.stop()
+
+
+def test_pack_iter_frames_roundtrip():
+    from supersonic_spark.multimodal import iter_frames, pack_frames
+    frames = [b"abc", b"", b"x" * 1000, b"\x00\xff"]
+    assert list(iter_frames(pack_frames(frames))) == frames
+    with pytest.raises(ValueError):
+        list(iter_frames(pack_frames(frames)[:-1]))
+    with pytest.raises(ValueError):
+        list(iter_frames(b"\x00\x00\x00\x05ab"))
+
+
+def test_sample_frames_container_and_fixed(spark):
+    from supersonic_spark.multimodal import pack_frames, sample_frames
+    rows = [(1, pack_frames([b"aa", b"bbb", b"cccc", b"d"])),
+            (2, pack_frames([b"zz"])),
+            (3, None), (4, b"")]
+    df = spark.createDataFrame(rows, "mid long, payload binary")
+    got = sorted((r.id, r.frame_idx, bytes(r.frame)) for r in
+                 sample_frames(df, "mid", "payload", every_n=2).collect())
+    assert got == [(1, 0, b"aa"), (1, 2, b"cccc"), (2, 0, b"zz")]
+
+    fixed = spark.createDataFrame([(9, b"abcdefgh_")],
+                                  "mid long, payload binary")
+    got2 = sorted((r.frame_idx, r.n_bytes, bytes(r.frame)) for r in
+                  sample_frames(fixed, "mid", "payload",
+                                frame_len=4).collect())
+    assert got2 == [(0, 4, b"abcd"), (1, 4, b"efgh"), (2, 1, b"_")]
+
+
+def test_resize_images_stub_deterministic(spark):
+    from supersonic_spark.multimodal import resize_image_stub, resize_images
+    rows = [(1, b"imagebytes-1"), (2, b"imagebytes-2"), (3, None)]
+    df = spark.createDataFrame(rows, "mid long, payload binary")
+    out = {r.id: r for r in
+           resize_images(df, "mid", "payload", 32, 16).collect()}
+    assert out[3].resized is None and out[3].n_bytes is None
+    for i in (1, 2):
+        want = resize_image_stub(rows[i - 1][1], 32, 16)
+        assert bytes(out[i].resized) == want
+        assert out[i].n_bytes == len(want) == 32 * 16 // 16 + 8
+        assert (out[i].out_width, out[i].out_height) == (32, 16)
+
+
+@pytest.mark.skipif("PIL" not in __import__("sys").modules
+                    and not __import__("importlib.util", fromlist=["util"])
+                    .find_spec("PIL"),
+                    reason="PIL not installed in this sandbox")
+def test_resize_images_pil_branch(spark):
+    import io
+    from PIL import Image
+    from supersonic_spark.multimodal import resize_image_pil, resize_images
+    buf = io.BytesIO()
+    Image.new("RGB", (8, 8), (10, 20, 30)).save(buf, format="PNG")
+    df = spark.createDataFrame([(1, buf.getvalue())],
+                               "mid long, payload binary")
+    out = resize_images(df, "mid", "payload", 4, 4,
+                        resizer=resize_image_pil).collect()[0]
+    img = Image.open(io.BytesIO(bytes(out.resized)))
+    assert img.size == (4, 4)
