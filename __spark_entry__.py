@@ -1853,8 +1853,11 @@ def q_multimodal_resize(spark, sf):
     the oracle checks dims/size/row-coverage; clusters with PIL pass
     resize_image_pil into the same kernel)."""
     from supersonic_spark.multimodal import resize_images
-    d = _t(spark, sf, "documents").select(
-        "doc_id", F.col("text").cast("binary").alias("payload"))
+    # empty payloads produce NULL-output rows from the kernel but no row
+    # from the oracle's WHERE — filter them symmetrically here
+    d = (_t(spark, sf, "documents")
+         .filter(F.octet_length(F.col("text")) > 0)
+         .select("doc_id", F.col("text").cast("binary").alias("payload")))
     rz = resize_images(d, "doc_id", "payload", 32, 16)
     return rz.select(F.col("id").alias("doc_id"), "out_width",
                      "out_height", "n_bytes")

@@ -43,50 +43,12 @@ def _sf_of(sf_dir: str) -> float:
         return 0.1
 
 
-def external_busy_cores(window_s: float = 2.0) -> float:
-    """Non-idle cores over a short quiescent window — load that is NOT
-    ours (same probe as tools/scaling_bench.py records per run)."""
-    def snap():
-        with open("/proc/stat") as f:
-            v = list(map(int, f.readline().split()[1:]))
-        return sum(v), v[3] + v[4]
-    t0, i0 = snap()
-    time.sleep(window_s)
-    t1, i1 = snap()
-    total, idle = t1 - t0, i1 - i0
-    n = os.cpu_count() or 1
-    return round(n * (1 - idle / max(total, 1)), 2)
-
-
-# Single-thread fixed-work probe reference, measured on this box under
-# low load (min-of-5, repeated; see BENCH/BASELINE.md round-5). The box's
-# documented throttle windows slow CPU work 2-4x with ZERO external load
-# visible in /proc/stat, so wall-clock alone can't prove a calm window —
-# a fixed-work probe can.
-_CPU_PROBE_REF_SEC = 0.283
-# A 1.25x-slow pre-probe once preceded a 4x-throttled run (round 5), so
-# the factor is tight AND the probe repeats after the suite: throttling
-# that starts mid-run fails the post-probe and un-calms the artifact.
-_CPU_PROBE_CALM_FACTOR = 1.15     # probe within this of ref => calm
-
-
-def cpu_probe_sec(iters: int = 5) -> float:
-    """Fixed single-thread numpy workload (integer mix + sort of 12M
-    uint64 — no BLAS, so thread-pool config can't skew it); min of
-    `iters` runs. Compare against _CPU_PROBE_REF_SEC to flag
-    throttle-poisoned headline runs."""
-    import numpy as np
-    rng = np.random.default_rng(0)
-    x = rng.integers(0, 2 ** 62, 12_000_000, dtype=np.uint64)
-    best = float("inf")
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        y = x * np.uint64(0x9E3779B97F4A7C15)
-        y ^= y >> np.uint64(30)
-        s = np.sort(y)
-        float(s[0])
-        best = min(best, time.perf_counter() - t0)
-    return round(best, 4)
+from supersonic_spark.runtime import (CPU_PROBE_CALM_FACTOR as
+                                       _CPU_PROBE_CALM_FACTOR,
+                                       CPU_PROBE_REF_SEC as
+                                       _CPU_PROBE_REF_SEC,
+                                       cpu_probe_sec,
+                                       external_busy_cores)
 
 
 def main():

@@ -642,7 +642,24 @@ def _encode_arranged(spark: SparkSession, df: DataFrame,
                  bloom_hashes=cfg.bloom_hashes),
         schema=MANIFEST_SCHEMA)
     manifest.write.mode("overwrite").parquet(os.path.join(out_dir, "manifest"))
-    return spark.read.parquet(os.path.join(out_dir, "manifest"))
+    out = spark.read.parquet(os.path.join(out_dir, "manifest"))
+    _record_manifest_size(spark, out_dir, out, meta)
+    return out
+
+
+def _record_manifest_size(spark: SparkSession, out_dir: str,
+                          manifest: DataFrame, meta: dict) -> None:
+    """Stamp the manifest's row/column counts into meta.json ONCE at
+    encode time, so every predicated decode can pick the set-path vs
+    join-path pruning branch from metadata instead of running its own
+    manifest aggregation job (a fixed Spark-job tax on the point-lookup
+    hot path)."""
+    r = manifest.agg(F.count("*").alias("n"),
+                     F.countDistinct("column").alias("c")).collect()[0]
+    meta["manifest_rows"] = int(r["n"])
+    meta["manifest_columns"] = int(max(r["c"], 1))
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=1)
 
 
 def _zorder_long_expr(df: DataFrame, name: str):
@@ -676,7 +693,11 @@ def zorder_key_expr(norm_cols: list, mins: list[int], maxes: list[int]):
     terms = []
     for ci, (c, lo, hi) in enumerate(zip(norm_cols, mins, maxes)):
         span = float(max(hi - lo, 1))
-        scaled = (((F.coalesce(c, F.lit(lo)) - F.lit(lo)).cast("double")
+        # subtract in DOUBLE: long (c - lo) overflows under ANSI when the
+        # key spans more than int64 range (e.g. an xxhash64-derived key);
+        # double precision loss only blurs the layout, never correctness
+        scaled = (((F.coalesce(c, F.lit(lo)).cast("double")
+                    - F.lit(float(lo)))
                    / F.lit(span)) * F.lit(float(maxv))).cast("long")
         norm = F.least(F.lit(maxv).cast("long"),
                        F.greatest(F.lit(0).cast("long"), scaled))
@@ -794,11 +815,20 @@ def upsert_bucketized(spark: SparkSession, updates: DataFrame,
     # same repartition → partition i == bucket i == tmp part-{i:05d} file
     merged.repartition(n, F.col(conv_key)).write.parquet(tmp)
     stamp = _uuid.uuid4().hex[:8]
+    affected_set = set(affected)
+    replaced = set()
     for p in os.listdir(tmp):
         m = _re.match(r"part-(\d{5})-.*\.parquet$", p)
         if not m:
             continue
         b = int(m.group(1))
+        # ONLY touched buckets may be replaced: Spark writes a part-00000
+        # file even when partition 0 is EMPTY (it carries the schema), so
+        # installing every tmp file would overwrite bucket 0's data with
+        # an empty file whenever no update hashes there — silent data
+        # loss (caught by review; regression-tested)
+        if b not in affected_set:
+            continue
         # keep the part-NNNNN prefix so the file holds its sorted
         # position in encode_table_prebucketed's path list
         os.replace(os.path.join(tmp, p),
@@ -807,6 +837,11 @@ def upsert_bucketized(spark: SparkSession, updates: DataFrame,
         old = by_num.get(b)
         if old and os.path.exists(old):
             os.remove(old)
+        replaced.add(b)
+    if replaced != affected_set:
+        raise RuntimeError(
+            f"upsert wrote no file for buckets {affected_set - replaced}; "
+            "bucket dir left partially updated")
     import shutil
     shutil.rmtree(tmp, ignore_errors=True)
     return affected
@@ -933,7 +968,9 @@ def encode_table_prebucketed(spark: SparkSession, input_dir: str,
         schema="path string")
     manifest = pdf.mapInArrow(run, schema=MANIFEST_SCHEMA)
     manifest.write.mode("overwrite").parquet(os.path.join(out_dir, "manifest"))
-    return spark.read.parquet(os.path.join(out_dir, "manifest"))
+    out = spark.read.parquet(os.path.join(out_dir, "manifest"))
+    _record_manifest_size(spark, out_dir, out, meta)
+    return out
 
 
 def compact_blocks(spark: SparkSession, src_dirs: list[str], out_dir: str,
@@ -1251,6 +1288,8 @@ def _bloom_filter_chunks(man_sel: DataFrame, values: list) -> DataFrame:
     collected. The probe itself is bloom_probe_b64: batched base64-text
     gathers, no per-row Python, no blob materialization."""
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from .runtime import pin_worker_threads
+        pin_worker_threads()
         for batch in batches:
             tbl = pa.Table.from_batches([batch])
             keep_mask = bloom_probe_b64(tbl.column("bloom_b64"), values)
@@ -1324,12 +1363,28 @@ def _pred_survivor_dfs(spark: SparkSession, out_dir: str,
     # different hash produces false NEGATIVES — silently dropped rows —
     # the one failure mode pruning must never have
     blooms_ok = _meta.get("stats_version", 0) >= 3
+    # TIMESTAMP_NTZ zone maps hold WALL-CLOCK ns (no instant semantics):
+    # naive bounds must convert as-if-UTC — resolving them in a non-UTC
+    # session tz would shift bounds by the offset and prune chunks the
+    # residual filter keeps. Aware bounds against NTZ can't prune safely.
+    ntz_cols: set = set()
+    try:
+        sch = StructType.fromJson(_meta["spark_schema"])
+        ntz_cols = {f.name for f in sch.fields
+                    if f.dataType.typeName() == "timestamp_ntz"}
+    except Exception:
+        pass
     import datetime as _dt
     sels: list[DataFrame] = []
     for pred in predicates:
         bound0 = pred[1][0] if len(pred) == 2 else pred[1]
         if isinstance(bound0, (_dt.date, _dt.datetime)) and not ns_stats:
             continue
+        pred_tz = tz
+        if pred[0] in ntz_cols and isinstance(bound0, _dt.datetime):
+            if bound0.tzinfo is not None:
+                continue          # aware bound vs wall-clock stats: skip
+            pred_tz = _dt.timezone.utc      # naive == wall-clock ns
         if len(pred) == 2:      # membership: union of point lookups
             pcol, values = pred
             lo, hi = values[0], values[-1]          # sorted by normalize
@@ -1348,7 +1403,7 @@ def _pred_survivor_dfs(spark: SparkSession, out_dir: str,
         # timestamp literal would compare in epoch SECONDS and silently
         # prune every chunk); naive bounds resolve in the SESSION tz —
         # the same clock the residual filter compares under
-        lo, hi = _bound_ns(lo, -1, tz), _bound_ns(hi, +1, tz)
+        lo, hi = _bound_ns(lo, -1, pred_tz), _bound_ns(hi, +1, pred_tz)
         vmin = F.col("vmin_str") if is_str else F.col("vmin_num")
         vmax = F.col("vmax_str") if is_str else F.col("vmax_num")
         keep_cond = (vmin.isNull() | vmax.isNull()
@@ -1436,10 +1491,17 @@ def decode_table(spark: SparkSession, out_dir: str,
         mdir = os.path.join(out_dir, "manifest")
         big = False
         if os.path.isdir(mdir):
-            r = (spark.read.parquet(mdir)
-                 .agg(F.count("*").alias("n"),
-                      F.countDistinct("column").alias("c")).collect()[0])
-            big = (r["n"] // max(r["c"], 1)) > join_prune_threshold
+            if "manifest_rows" in meta:
+                # stamped at encode time: no Spark job on the hot path
+                big = (meta["manifest_rows"]
+                       // max(meta.get("manifest_columns", 1), 1)
+                       ) > join_prune_threshold
+            else:  # pre-stamp manifest: measure once per decode
+                r = (spark.read.parquet(mdir)
+                     .agg(F.count("*").alias("n"),
+                          F.countDistinct("column").alias("c"))
+                     .collect()[0])
+                big = (r["n"] // max(r["c"], 1)) > join_prune_threshold
         if big:
             wanted_df = _pruned_chunks_df(spark, out_dir, predicates)
         else:
@@ -1591,13 +1653,30 @@ def decode_table(spark: SparkSession, out_dir: str,
                    .join(wanted_df, "partition_id")
                    .select("path", "lo", "hi", "wanted"))
         out = pdf.mapInArrow(decode, schema=schema)
+    import datetime as _dt
+    ntz = {f.name for f in schema.fields
+           if f.dataType.typeName() == "timestamp_ntz"}
+
+    def _plit(pcol, v):
+        # a naive datetime bound against a TIMESTAMP_NTZ column must
+        # compare WALL-CLOCK (F.lit alone builds an LTZ literal, making
+        # the comparison session-tz-dependent — and the zone-map pruning
+        # already resolved the same bound as wall-clock ns)
+        if (pcol in ntz and isinstance(v, _dt.datetime)
+                and v.tzinfo is None):
+            # via the wall-clock STRING: string->NTZ parsing is
+            # session-independent, while lit(datetime) builds its
+            # instant under a tz the later LTZ->NTZ cast may not match
+            return F.lit(v.isoformat(sep=" ")).cast("timestamp_ntz")
+        return F.lit(v)
+
     for pred in predicates:
         if len(pred) == 2:
             out = out.filter(F.col(pred[0]).isin(*pred[1]))
         else:
             pcol, lo, hi = pred
-            out = out.filter((F.col(pcol) >= F.lit(lo))
-                             & (F.col(pcol) <= F.lit(hi)))
+            out = out.filter((F.col(pcol) >= _plit(pcol, lo))
+                             & (F.col(pcol) <= _plit(pcol, hi)))
     if extra_pred_cols:   # callers asked for columns=, not the predicate col
         out = out.drop(*extra_pred_cols)
     return out

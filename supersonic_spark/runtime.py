@@ -29,3 +29,57 @@ def pin_worker_threads() -> None:
     for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
                 "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
         os.environ.setdefault(var, "1")
+
+
+# --- calm-window probes (shared by bench.py and tools/scaling_bench.py) ----
+
+CPU_PROBE_REF_SEC = 0.283
+"""Single-thread fixed-work probe reference, measured on this box under
+low load (min-of-5, repeated; see BENCH/BASELINE.md). The box's
+documented throttle windows slow CPU work 2-4x with ZERO external load
+visible in /proc/stat, so wall-clock alone can't prove a calm window —
+a fixed-work probe can."""
+
+CPU_PROBE_CALM_FACTOR = 1.15
+"""Probe within this factor of the reference => calm. Tight on purpose:
+a 1.25x-slow pre-probe once preceded a 4x-throttled bench run."""
+
+
+def external_busy_cores(window_s: float = 2.0) -> float:
+    """Non-idle cores over a short quiescent window — load that is NOT
+    ours. One implementation for every harness so the calmness criterion
+    can't silently diverge between bench and scaling campaigns."""
+    import os
+    import time
+
+    def snap():
+        with open("/proc/stat") as f:
+            v = list(map(int, f.readline().split()[1:]))
+        return sum(v), v[3] + v[4]
+    t0, i0 = snap()
+    time.sleep(window_s)
+    t1, i1 = snap()
+    total, idle = t1 - t0, i1 - i0
+    n = os.cpu_count() or 1
+    return round(n * (1 - idle / max(total, 1)), 2)
+
+
+def cpu_probe_sec(iters: int = 5) -> float:
+    """Fixed single-thread numpy workload (integer mix + sort of 12M
+    uint64 — no BLAS, so thread-pool config can't skew it); min of
+    `iters` runs. Compare against CPU_PROBE_REF_SEC to flag
+    throttle-poisoned measurements."""
+    import time
+
+    import numpy as np
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 2 ** 62, 12_000_000, dtype=np.uint64)
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        y = x * np.uint64(0x9E3779B97F4A7C15)
+        y ^= y >> np.uint64(30)
+        s = np.sort(y)
+        float(s[0])
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)

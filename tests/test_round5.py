@@ -633,3 +633,75 @@ def test_resize_images_pil_branch(spark):
                         resizer=resize_image_pil).collect()[0]
     img = Image.open(io.BytesIO(bytes(out.resized)))
     assert img.size == (4, 4)
+
+
+def test_upsert_preserves_untouched_bucket_zero(spark, tmp_path):
+    """Spark writes a part-00000 file even for an EMPTY partition 0;
+    the upsert must never install it over bucket 0's real data when no
+    update hashes there (reproduced data-loss bug: 200 -> 181 rows)."""
+    from supersonic_spark.pipeline import bucketize_table, upsert_bucketized
+    rows = [(f"u{i}", i) for i in range(200)]
+    df = spark.createDataFrame(rows, "conv_id string, v long")
+    bdir = str(tmp_path / "bz")
+    bucketize_table(spark, df, bdir, n_buckets=8)
+    n = 8
+    bid = F.pmod(F.hash(F.col("conv_id")), F.lit(n))
+    # pick a conv that does NOT hash to bucket 0
+    some = [r.conv_id for r in
+            df.withColumn("b", bid).filter(F.col("b") != 0)
+            .limit(2).collect()]
+    updates = (df.filter(F.col("conv_id").isin(some))
+               .withColumn("v", F.col("v") + 1000))
+    affected = upsert_bucketized(spark, updates, bdir)
+    assert 0 not in affected
+    back = spark.read.parquet(bdir)
+    assert back.count() == 200                      # nothing lost
+    got = {r.conv_id: r.v for r in back.collect()}
+    for c in some:
+        assert got[c] >= 1000
+    assert sum(1 for v in got.values() if v >= 1000) == len(some)
+
+
+def test_ntz_datetime_pruning_non_utc_session(spark, tmp_path):
+    """TIMESTAMP_NTZ zone maps are wall-clock ns; naive predicate bounds
+    must NOT be shifted by a non-UTC session timezone (they'd prune
+    chunks the residual filter keeps). Exactness + pruning both hold
+    under Asia/Tokyo."""
+    from supersonic_spark.pipeline import (EncodeConfig, _pruned_chunks,
+                                           decode_table, encode_table)
+    rows = [(i, f"2024-01-{1 + i // 100:02d} {i % 24:02d}:00:00")
+            for i in range(2000)]
+    df = (spark.createDataFrame(rows, "event_id long, s string")
+          .select("event_id",
+                  F.col("s").cast("timestamp_ntz").alias("ts")))
+    out = str(tmp_path / "enc_ntz")
+    cfg = EncodeConfig(n_partitions=2, chunk_rows=128,
+                       conv_key="event_id", order_key="event_id",
+                       sort_keys=("ts", "event_id"), sort_in_kernel=True)
+    encode_table(spark, df, out, cfg, fingerprint="ntz")
+
+    lo = dt.datetime(2024, 1, 5, 0, 0, 0)
+    hi = dt.datetime(2024, 1, 7, 0, 0, 0)
+    # wall-clock semantics: NTZ bounds as NTZ literals (a bare F.lit
+    # builds an LTZ literal and the comparison would be session-tz
+    # dependent — the very bug this test pins)
+    want = sorted(r.event_id for r in
+                  df.filter((F.col("ts") >= F.lit(lo).cast("timestamp_ntz"))
+                            & (F.col("ts") <= F.lit(hi)
+                               .cast("timestamp_ntz"))).collect())
+    key = "spark.sql.session.timeZone"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "Asia/Tokyo")
+    try:
+        got = sorted(r.event_id for r in
+                     decode_table(spark, out, columns=["event_id"],
+                                  predicate=("ts", lo, hi)).collect())
+        keep = _pruned_chunks(spark, out, [("ts", lo, hi)])
+        kept = sum(len(s) for s in keep.values())
+    finally:
+        spark.conf.set(key, old)
+    assert got == want and len(got) > 0
+    total = (spark.read.parquet(out + "/manifest")
+             .filter(F.col("column") == "ts")
+             .select("partition_id", "chunk_id").distinct().count())
+    assert kept < total                     # still prunes, correctly

@@ -93,23 +93,7 @@ def run_once(zpath: str, input_dir: str, cores: int, run_id: int,
     raise RuntimeError(f"no result line; stderr tail: {proc.stderr[-2000:]}")
 
 
-def external_busy_cores(window_s: float = 2.0) -> float:
-    """Busy (non-idle) cores over a short window, sampled while this
-    process is quiescent — i.e. load that is NOT ours. Recorded per run so
-    a campaign's validity is a pre-registered condition, not post-hoc
-    cherry-picking. Note: KVM steal shows as missing idle here too."""
-    def snap():
-        with open("/proc/stat") as f:
-            v = list(map(int, f.readline().split()[1:]))
-        return sum(v), v[3] + v[4]
-    t0, i0 = snap()
-    time.sleep(window_s)
-    t1, i1 = snap()
-    total, idle = t1 - t0, i1 - i0
-    n = os.cpu_count() or 1
-    return round(n * (1 - idle / max(total, 1)), 2)
-
-
+from supersonic_spark.runtime import external_busy_cores  # noqa: E402
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-convs", type=int, default=33000)
