@@ -2006,6 +2006,143 @@ def q_codec_zorder_prune(spark, sf):
                       .alias("ts_us"))
 
 
+def q_codec_delete(spark, sf):
+    """GDPR-erasure at bucket-file grain: events bucketized by user_id,
+    two users' conversations deleted via delete_bucketized (only their
+    bucket files rewritten), re-encoded incrementally (per-file
+    fingerprints re-encode only touched buckets), decoded. Oracle is the
+    NOT-IN view of the same table."""
+    import tempfile
+    from supersonic_spark.pipeline import (EncodeConfig, bucketize_table,
+                                           decode_table, delete_bucketized,
+                                           encode_table_prebucketed)
+    ev = _t(spark, sf, "events").select("event_id", "ts", "user_id",
+                                        "event_type", "value")
+    bdir = tempfile.mkdtemp(prefix="ss_del_bkt_")
+    bucketize_table(spark, ev, bdir, n_buckets=8, conv_key="user_id")
+    out = tempfile.mkdtemp(prefix="ss_del_enc_")
+    cfg = EncodeConfig(chunk_rows=1024, conv_key="user_id",
+                       order_key="event_id",
+                       sort_keys=("user_id", "event_id"))
+    encode_table_prebucketed(spark, bdir, out, cfg, fingerprint="del-gate")
+    keys = ev.filter(F.col("user_id").isin(3, 7)) \
+             .select("user_id").distinct()
+    delete_bucketized(spark, keys, bdir)
+    encode_table_prebucketed(spark, bdir, out, cfg, fingerprint="del-gate")
+    dec = decode_table(spark, out,
+                       columns=["event_id", "user_id", "event_type"])
+    return dec.select("event_id", "user_id", "event_type")
+
+
+def q_codec_snapshot(spark, sf):
+    """Time travel: a hardlink snapshot taken BEFORE a merge decodes to
+    the original table even after the live table was upserted and
+    re-encoded (mutating paths install new inodes; the snapshot's links
+    keep the old bytes). Oracle is the plain pre-merge table."""
+    import tempfile
+    from supersonic_spark.pipeline import (EncodeConfig, bucketize_table,
+                                           decode_table,
+                                           encode_table_prebucketed,
+                                           snapshot_table,
+                                           upsert_bucketized)
+    ev = _t(spark, sf, "events").select("event_id", "ts", "user_id",
+                                        "event_type", "value")
+    bdir = tempfile.mkdtemp(prefix="ss_snap_bkt_")
+    bucketize_table(spark, ev, bdir, n_buckets=8, conv_key="user_id")
+    out = tempfile.mkdtemp(prefix="ss_snap_enc_")
+    cfg = EncodeConfig(chunk_rows=1024, conv_key="user_id",
+                       order_key="event_id",
+                       sort_keys=("user_id", "event_id"))
+    encode_table_prebucketed(spark, bdir, out, cfg, fingerprint="snap-gate")
+    snap = snapshot_table(out, "v1")
+    updates = (ev.filter(F.col("user_id").isin(3, 7))
+               .withColumn("event_type",
+                           F.concat(F.lit("UPD_"), F.col("event_type"))))
+    upsert_bucketized(spark, updates, bdir)
+    encode_table_prebucketed(spark, bdir, out, cfg, fingerprint="snap-gate")
+    dec = decode_table(spark, snap,
+                       columns=["event_id", "user_id", "event_type"])
+    return dec.select("event_id", "user_id", "event_type")
+
+
+# PQ gate model: m=8 subspaces, ksub=4 codewords, dsub=8 (dim 64); the
+# codebooks are pinned deterministic literals (toy_pq_codebooks) so the
+# DuckDB oracle can embed the exact same model — same trick as the LSH
+# plane oracles.
+_PQ_M, _PQ_KSUB = 8, 4
+
+
+def q_pq_assign(spark, sf):
+    """PQ encode (Arrow kernel — the real path): every vector to m
+    one-byte codes, emitted as int columns c0..c7 via byte extraction so
+    the value hash is portable. The oracle replicates the per-subspace
+    argmin (lowest-index ties) over the same literal codebooks; the
+    expr-twin equality is pytest-gated (test_pq_assign_expr_matches_arrow)."""
+    from supersonic_spark.pq import pq_assign_arrow, toy_pq_codebooks
+    e = _t(spark, sf, "embeddings")
+    books = toy_pq_codebooks(_PQ_M, _PQ_KSUB, 64 // _PQ_M)
+    codes = pq_assign_arrow(e, books)
+    cols = [F.col("vec_id")]
+    for s in range(_PQ_M):
+        cols.append(F.expr(
+            f"cast(conv(hex(substring(pq_code, {s + 1}, 1)), 16, 10) "
+            f"as int)").alias(f"c{s}"))
+    return codes.select(*cols)
+
+
+def q_pq_adc_topk(spark, sf):
+    """Approximate top-k by asymmetric distance computation over PQ
+    codes only (m lookup-adds per row, database floats never touched).
+    ADC cosine == exact cosine of the PQ reconstruction, so the oracle
+    reconstructs each vector from the literal codebooks in SQL and
+    scores with list_cosine_similarity."""
+    import pyarrow.parquet as pq
+    from supersonic_spark.pq import (pq_adc_topk_arrow, pq_assign_arrow,
+                                     toy_pq_codebooks)
+    e = _t(spark, sf, "embeddings")
+    books = toy_pq_codebooks(_PQ_M, _PQ_KSUB, 64 // _PQ_M)
+    qvec = pq.read_table(f"{sf}/embeddings.parquet") \
+             .column("embedding")[0].as_py()
+    codes = pq_assign_arrow(e, books)
+    return pq_adc_topk_arrow(codes, [float(v) for v in qvec], books, 20)
+
+
+def q_pq_topk_refined(spark, sf):
+    """PQ search with exact re-rank. refine*k covers the sf0.01 table
+    (500 rows), so the shortlist is everything and the refined top-k is
+    exactly brute force — gating the ADC + shortlist + re-rank plumbing
+    against the ann_topk oracle."""
+    import pyarrow.parquet as pq
+    from supersonic_spark.pq import pq_topk_refined, toy_pq_codebooks
+    e = _t(spark, sf, "embeddings")
+    books = toy_pq_codebooks(_PQ_M, _PQ_KSUB, 64 // _PQ_M)
+    qvec = pq.read_table(f"{sf}/embeddings.parquet") \
+             .column("embedding")[0].as_py()
+    return pq_topk_refined(e, [float(v) for v in qvec], books, k=20,
+                           refine=30)
+
+
+def q_ivfpq_topk_indexed(spark, sf):
+    """Write-time IVF-PQ index (parquet PARTITIONED BY ivf_cell carrying
+    (id, pq_code, vector)): probe with full probing + covering refine ==
+    exact, gating the coarse assignment, directory pruning, ADC phase and
+    float re-rank end-to-end against the brute-force oracle."""
+    import tempfile
+    import pyarrow.parquet as pq
+    from supersonic_spark.ann import train_centroids
+    from supersonic_spark.pq import (build_ivfpq_index, ivfpq_topk_indexed,
+                                     toy_pq_codebooks)
+    e = _t(spark, sf, "embeddings")
+    books = toy_pq_codebooks(_PQ_M, _PQ_KSUB, 64 // _PQ_M)
+    qvec = pq.read_table(f"{sf}/embeddings.parquet") \
+             .column("embedding")[0].as_py()
+    cents = train_centroids(e, k=4)
+    idx = tempfile.mkdtemp(prefix="ss_ivfpq_idx_")
+    build_ivfpq_index(spark, e, idx, cents, books)
+    return ivfpq_topk_indexed(spark, idx, [float(v) for v in qvec], 20,
+                              cents, books, n_probe=4, refine=30)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2164,6 +2301,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
         "tpch_q18_large_orders": q_tpch_q18_large_orders,
         "window_lag_lead": q_window_lag_lead,
+        # --- round-5b additions (replica-proven this round; rotate into
+        #     the driver prefix next round) ---
+        "codec_delete": q_codec_delete,
+        "codec_snapshot": q_codec_snapshot,
+        "pq_assign": q_pq_assign,
+        "pq_adc_topk": q_pq_adc_topk,
+        "pq_topk_refined": q_pq_topk_refined,
+        "ivfpq_topk_indexed": q_ivfpq_topk_indexed,
     }
 
 

@@ -18,6 +18,9 @@ Re-expresses the capabilities of the Supersonic C++ columnar query executor
 - ``datagen``   — deterministic synthetic multi-turn transcript generator.
 - ``operators`` — Spark-first re-expressions of the reference operator
                   inventory (SURVEY.md §2).
+- ``ann`` / ``pq`` — embedding similarity search: exact cosine top-k,
+                  LSH / IVF indexes with directory pruning, and product
+                  quantization (IVF-PQ) with ADC scoring + exact re-rank.
 """
 
 __version__ = "0.1.0"

@@ -467,6 +467,13 @@ def _encode_partition_stream(pid: int, batches: Iterator[pa.RecordBatch],
     if chunk_id == 0:
         os.remove(tmp_path)  # skip empty partitions (reference rejects
         # 0-row chunks: file_io.cc:398-403)
+        if os.path.exists(blk_path):
+            # a previous encode of this partition left a block file but
+            # the partition is now empty (e.g. every conversation in a
+            # bucket was deleted) — decode_table walks blocks/*.ssb, so a
+            # stale file would resurrect deleted rows. Unlink only drops
+            # this name; hardlinked snapshots keep the old bytes.
+            os.remove(blk_path)
     else:
         os.replace(tmp_path, blk_path)
     mtmp = marker + ".tmp"
@@ -794,6 +801,11 @@ def upsert_bucketized(spark: SparkSession, updates: DataFrame,
     with open(os.path.join(bucket_dir, "_buckets.json")) as f:
         bmeta = json.load(f)
     n, conv_key = bmeta["n_buckets"], bmeta["conv_key"]
+    # hash on the TABLE's key type: murmur3(int32) != murmur3(int64), so
+    # an updates frame whose key column arrived narrower (e.g. literals)
+    # would route to the wrong bucket and silently miss the merge target
+    ktype = spark.read.parquet(bucket_dir).schema[conv_key].dataType
+    updates = updates.withColumn(conv_key, F.col(conv_key).cast(ktype))
     bid = F.pmod(F.hash(F.col(conv_key)), F.lit(n))
     affected = sorted(r["b"] for r in
                       updates.select(bid.alias("b")).distinct().collect())
@@ -845,6 +857,141 @@ def upsert_bucketized(spark: SparkSession, updates: DataFrame,
     import shutil
     shutil.rmtree(tmp, ignore_errors=True)
     return affected
+
+
+def delete_bucketized(spark: SparkSession, keys: DataFrame,
+                      bucket_dir: str) -> list[int]:
+    """DELETE whole conversations at bucket-file grain: every conv_key in
+    `keys` is removed from the bucketize_table layout, rewriting ONLY the
+    bucket files those keys hash into (same pmod(hash, n) routing as
+    upsert_bucketized). Returns the affected bucket ids.
+
+    A bucket whose every conversation is deleted is replaced by an EMPTY
+    parquet file (schema kept) rather than removed: bucket ids are
+    positional in encode_table_prebucketed's sorted path list, so
+    dropping a file would shift every later bucket's partition id and
+    invalidate their resume markers. The following
+    encode_table_prebucketed run re-encodes only the rewritten files;
+    an emptied bucket encodes to zero chunks and its stale block file is
+    unlinked (hardlinked snapshots keep the old bytes — see
+    snapshot_table). At 10^12-turn scale this is the GDPR-erasure /
+    retention path: deleting k conversations costs O(k bucket files),
+    not a table rewrite."""
+    import re as _re
+    import uuid as _uuid
+    import pyarrow.parquet as pq
+    with open(os.path.join(bucket_dir, "_buckets.json")) as f:
+        bmeta = json.load(f)
+    n, conv_key = bmeta["n_buckets"], bmeta["conv_key"]
+    # cast to the TABLE's key type before hashing — murmur3 differs by
+    # byte width, and delete keys often arrive as literals narrower than
+    # the stored column; a mismatch routes to the wrong bucket and the
+    # delete silently misses (caught in review of the upsert twin)
+    ktype = spark.read.parquet(bucket_dir).schema[conv_key].dataType
+    keys = keys.select(F.col(conv_key).cast(ktype).alias(conv_key)).distinct()
+    bid = F.pmod(F.hash(F.col(conv_key)), F.lit(n))
+    routed = sorted(r["b"] for r in
+                    keys.select(bid.alias("b")).distinct().collect())
+    by_num: dict[int, str] = {}
+    for p in os.listdir(bucket_dir):
+        m = _re.match(r"part-(\d{5})-.*\.parquet$", p)
+        if m:
+            by_num[int(m.group(1))] = os.path.join(bucket_dir, p)
+    # only buckets that exist on disk can hold rows to delete
+    affected = [b for b in routed if b in by_num]
+    if not affected:
+        return []
+    old_files = [by_num[b] for b in affected]
+    remaining = (spark.read.parquet(*old_files)
+                 .join(F.broadcast(keys), conv_key, "left_anti"))
+    tmp = os.path.join(bucket_dir, f"_delete_tmp_{_uuid.uuid4().hex[:8]}")
+    # same repartition -> partition i == bucket i == tmp part-{i:05d} file
+    remaining.repartition(n, F.col(conv_key)).write.parquet(tmp)
+    by_tmp: dict[int, str] = {}
+    for p in os.listdir(tmp):
+        m = _re.match(r"part-(\d{5})-.*\.parquet$", p)
+        if m:
+            by_tmp[int(m.group(1))] = os.path.join(tmp, p)
+    stamp = _uuid.uuid4().hex[:8]
+    for b in affected:
+        new = os.path.join(bucket_dir, f"part-{b:05d}-del{stamp}.parquet")
+        tf = by_tmp.get(b)
+        # Spark may emit a part file for an EMPTY partition (part-00000
+        # carries the schema) and emits none for other empty partitions —
+        # route on actual row count, not file presence (the upsert
+        # bucket-0 lesson)
+        if tf is not None and pq.ParquetFile(tf).metadata.num_rows > 0:
+            os.replace(tf, new)
+        else:
+            # fully-deleted bucket: keep an empty file so positional
+            # bucket ids stay stable for every OTHER bucket
+            pq.write_table(pq.read_schema(by_num[b]).empty_table(), new)
+        old = by_num[b]
+        if os.path.exists(old):
+            os.remove(old)
+    import shutil
+    shutil.rmtree(tmp, ignore_errors=True)
+    return affected
+
+
+def snapshot_table(out_dir: str, tag: str) -> str:
+    """Zero-copy snapshot of an encoded table (time travel): hardlink
+    every block file and every manifest parquet file, copy meta.json,
+    into out_dir/snapshots/<tag>/. Costs O(#files) directory entries and
+    zero data bytes. Every mutating path installs NEW inodes — encode
+    and compaction os.replace() block files, Spark's manifest overwrite
+    unlinks-then-writes — so the snapshot's links keep the old bytes:
+    filesystem-level copy-on-write, the same snapshot-isolation contract
+    an Iceberg table gets from immutable data files + a versioned
+    metadata tree. decode_table reads a snapshot dir like any table
+    (blocks/ + manifest/ + meta.json).
+
+    On filesystems without hardlinks the block files are copied (still
+    correct, no longer zero-copy)."""
+    import shutil
+    snap = os.path.join(out_dir, "snapshots", tag)
+    if os.path.exists(snap):
+        raise ValueError(f"snapshot {tag!r} already exists at {snap}")
+    src_blk = os.path.join(out_dir, "blocks")
+    src_man = os.path.join(out_dir, "manifest")
+    if not (os.path.isdir(src_man)
+            and os.path.exists(os.path.join(out_dir, "meta.json"))):
+        raise ValueError(f"{out_dir} is not an encoded table "
+                         "(missing manifest/ or meta.json)")
+
+    def _link_tree(src: str, dst: str):
+        os.makedirs(dst, exist_ok=True)
+        for name in os.listdir(src):
+            s = os.path.join(src, name)
+            if not os.path.isfile(s):
+                continue
+            d = os.path.join(dst, name)
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy2(s, d)
+
+    tmp = snap + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    if os.path.isdir(src_blk):
+        _link_tree(src_blk, os.path.join(tmp, "blocks"))
+    _link_tree(src_man, os.path.join(tmp, "manifest"))
+    shutil.copy2(os.path.join(out_dir, "meta.json"),
+                 os.path.join(tmp, "meta.json"))
+    # publish atomically: a crashed snapshot leaves only a .tmp dir
+    os.rename(tmp, snap)
+    return snap
+
+
+def list_snapshots(out_dir: str) -> list[str]:
+    """Snapshot tags of an encoded table, sorted."""
+    d = os.path.join(out_dir, "snapshots")
+    if not os.path.isdir(d):
+        return []
+    return sorted(t for t in os.listdir(d)
+                  if not t.endswith(".tmp")
+                  and os.path.isdir(os.path.join(d, t)))
 
 
 def _normalize_arrow_units(tbl: pa.Table) -> pa.Table:

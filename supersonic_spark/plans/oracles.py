@@ -1463,3 +1463,89 @@ SELECT * FROM (VALUES
   ('text',    'dict',        CAST(2 AS BIGINT))
 ) AS t("column", codec, "count")
 """
+
+
+ORACLES["codec_delete"] = """
+SELECT event_id, user_id, event_type
+FROM events WHERE user_id NOT IN (3, 7)
+"""
+
+# the snapshot decodes to the PRE-merge table: plain select
+ORACLES["codec_snapshot"] = """
+SELECT event_id, user_id, event_type FROM events
+"""
+
+
+def _pq_codes_cte(m: int = 8, ksub: int = 4, dim: int = 64) -> str:
+    """Shared CTE chain computing per-subspace PQ codes in SQL from the
+    pinned toy codebooks: per-codeword distance columns (same left-assoc
+    term order as pq_assign_expr, so the doubles are bit-identical) and
+    a lowest-index argmin (the first i with d_i <= every later d_j is
+    the lowest argmin index)."""
+    from supersonic_spark.pq import _codebook_matrix, toy_pq_codebooks
+    dsub = dim // m
+    c, c_sq = _codebook_matrix(toy_pq_codebooks(m, ksub, dsub))
+
+    def dist(s: int, i: int) -> str:
+        terms = [repr(float(c_sq[s][i]))]
+        for j in range(dsub):
+            terms.append(f"e[{s * dsub + j + 1}] * "
+                         f"{repr(-2.0 * float(c[s][i][j]))}")
+        return " + ".join(terms)
+
+    dcols = ",\n       ".join(
+        f"{dist(s, i)} AS d{s}_{i}"
+        for s in range(m) for i in range(ksub))
+
+    def argmin(s: int) -> str:
+        branches = []
+        for i in range(ksub - 1):
+            cond = " AND ".join(f"d{s}_{i} <= d{s}_{j}"
+                                for j in range(i + 1, ksub))
+            branches.append(f"WHEN {cond} THEN {i}")
+        return "CASE " + " ".join(branches) + f" ELSE {ksub - 1} END"
+
+    ccols = ", ".join(f"{argmin(s)} AS c{s}" for s in range(m))
+    return f"""b AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+d AS (SELECT vec_id, {dcols} FROM b),
+codes AS (SELECT vec_id, {ccols} FROM d)"""
+
+
+def _pq_assign_oracle(m: int = 8, ksub: int = 4, dim: int = 64) -> str:
+    cols = ", ".join(f"c{s}" for s in range(m))
+    return f"WITH {_pq_codes_cte(m, ksub, dim)}\n" \
+           f"SELECT vec_id, {cols} FROM codes"
+
+
+def _pq_adc_topk_oracle(m: int = 8, ksub: int = 4, dim: int = 64,
+                        k: int = 20) -> str:
+    """ADC cosine == exact cosine of the PQ reconstruction, so the
+    oracle rebuilds each vector from the literal codebooks (one CASE per
+    subspace returning a DOUBLE[] codeword, flattened) and scores it
+    against the query with list_cosine_similarity."""
+    from supersonic_spark.pq import _codebook_matrix, toy_pq_codebooks
+    dsub = dim // m
+    c, _ = _codebook_matrix(toy_pq_codebooks(m, ksub, dsub))
+
+    def case_list(s: int) -> str:
+        br = []
+        for i in range(ksub):
+            vals = ", ".join(repr(float(v)) for v in c[s][i])
+            br.append(f"WHEN {i} THEN [{vals}]")
+        return f"CASE c{s} " + " ".join(br) + " END"
+
+    recon = ", ".join(case_list(s) for s in range(m))
+    return f"""WITH q AS (SELECT embedding::DOUBLE[] AS qe
+           FROM embeddings WHERE vec_id = 0),
+{_pq_codes_cte(m, ksub, dim)},
+recon AS (SELECT vec_id, flatten([{recon}]) AS r FROM codes)
+SELECT vec_id,
+       round(list_cosine_similarity(r, (SELECT qe FROM q)), 4) AS cos_sim
+FROM recon ORDER BY cos_sim DESC, vec_id ASC LIMIT {k}"""
+
+
+ORACLES["pq_assign"] = _pq_assign_oracle()
+ORACLES["pq_adc_topk"] = _pq_adc_topk_oracle()
+# covering refine / full probing make both searches exactly brute force
+ORACLES["pq_topk_refined"] = ORACLES["ann_topk"]
+ORACLES["ivfpq_topk_indexed"] = ORACLES["ann_topk"]
