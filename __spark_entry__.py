@@ -2065,6 +2065,46 @@ def q_codec_snapshot(spark, sf):
     return dec.select("event_id", "user_id", "event_type")
 
 
+def q_codec_cdc(spark, sf):
+    """Changed-data capture off a snapshot: events encoded, snapshot
+    'v1' taken, two users' conversations upserted (UPD_ prefix) and
+    re-encoded — snapshot_diff then emits their old rows as deletes and
+    new rows as inserts, reading ONLY the changed buckets' block files
+    (chunk-CRC manifest join prunes unchanged partitions entirely)."""
+    import tempfile
+    from supersonic_spark.pipeline import (EncodeConfig, bucketize_table,
+                                           encode_table_prebucketed,
+                                           snapshot_diff, snapshot_table,
+                                           upsert_bucketized)
+    ev = _t(spark, sf, "events").select("event_id", "ts", "user_id",
+                                        "event_type", "value")
+    bdir = tempfile.mkdtemp(prefix="ss_cdc_bkt_")
+    bucketize_table(spark, ev, bdir, n_buckets=8, conv_key="user_id")
+    out = tempfile.mkdtemp(prefix="ss_cdc_enc_")
+    cfg = EncodeConfig(chunk_rows=1024, conv_key="user_id",
+                       order_key="event_id",
+                       sort_keys=("user_id", "event_id"))
+    encode_table_prebucketed(spark, bdir, out, cfg, fingerprint="cdc-gate")
+    snapshot_table(out, "v1")
+    updates = (ev.filter(F.col("user_id").isin(3, 7))
+               .withColumn("event_type",
+                           F.concat(F.lit("UPD_"), F.col("event_type"))))
+    upsert_bucketized(spark, updates, bdir)
+    encode_table_prebucketed(spark, bdir, out, cfg, fingerprint="cdc-gate")
+    diff = snapshot_diff(spark, out, "v1")
+    return diff.select("event_id", "user_id", "event_type", "change_type")
+
+
+def q_semantic_dedup(spark, sf):
+    """SemDeDup over the embeddings table: coarse cells from pinned
+    deterministic centroids (oracle embeds the same literals), in-cell
+    cosine pairs at >= 0.2, connected components, lowest-id
+    representative; rep_id == id marks kept rows."""
+    from supersonic_spark.ann import semantic_dedup, toy_centroids
+    e = _t(spark, sf, "embeddings")
+    return semantic_dedup(e, toy_centroids(4, 64), threshold=0.2)
+
+
 # PQ gate model: m=8 subspaces, ksub=4 codewords, dsub=8 (dim 64); the
 # codebooks are pinned deterministic literals (toy_pq_codebooks) so the
 # DuckDB oracle can embed the exact same model — same trick as the LSH
@@ -2309,6 +2349,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc_topk": q_pq_adc_topk,
         "pq_topk_refined": q_pq_topk_refined,
         "ivfpq_topk_indexed": q_ivfpq_topk_indexed,
+        "codec_cdc": q_codec_cdc,
+        "semantic_dedup": q_semantic_dedup,
     }
 
 

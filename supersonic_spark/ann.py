@@ -559,3 +559,44 @@ def ivf_topk(df: DataFrame, query: list[float], k: int,
     assigned = ivf_assign(df, centroids, id_col, vec_col)
     cand = assigned.filter(F.col("ivf_cell").isin(*probe)).drop("ivf_cell")
     return cosine_topk(cand, query, k, id_col, vec_col)
+
+
+def toy_centroids(k: int, dim: int) -> list[list[float]]:
+    """Pinned deterministic coarse centroids in [-1, 1) from md5 — for
+    oracle-checkable gates where DuckDB must embed the exact same model
+    as literals (trained centroids are data-derived and cannot be
+    replicated in static SQL). Same trick as pq.toy_pq_codebooks."""
+    import hashlib
+
+    def val(i: int, j: int) -> float:
+        h = int(hashlib.md5(f"cent_{i}_{j}".encode()).hexdigest()[:12], 16)
+        return (h % 20000) / 10000.0 - 1.0
+
+    return [[val(i, j) for j in range(dim)] for i in range(k)]
+
+
+def semantic_dedup(df: DataFrame, centroids: list[list[float]],
+                   threshold: float, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540, public): semantic
+    near-duplicate removal over embeddings. Coarse-cluster with a k-means
+    quantizer (the IVF cell assignment), connect pairs with cosine >=
+    threshold INSIDE each cell only, and keep the lowest-id member of
+    each connected component. Returns (id, rep_id): rep_id == id for
+    kept rows; filter rep_id == id for the deduplicated corpus.
+
+    Scale: the quadratic is bounded per cell (choose k ~ n / target cell
+    size, as the paper does); pair generation is an equi self-join on
+    ivf_cell (pairwise_cosine_pairs refuses the unblocked cross join),
+    and components run O(diameter) min-label joins. Cross-cell
+    near-duplicates are missed by construction — the paper's stated
+    trade; raise threshold/k accordingly."""
+    assigned = ivf_assign_arrow(df, centroids, id_col, vec_col)
+    pairs = pairwise_cosine_pairs(assigned, threshold, id_col, vec_col,
+                                  block_col="ivf_cell")
+    from .operators.graph import connected_components
+    comps = connected_components(pairs)
+    return (df.select(F.col(id_col).alias("id"))
+            .join(comps, "id", "left")
+            .select("id", F.coalesce(F.col("cluster_id"), F.col("id"))
+                    .alias("rep_id")))

@@ -994,6 +994,71 @@ def list_snapshots(out_dir: str) -> list[str]:
                   and os.path.isdir(os.path.join(d, t)))
 
 
+def expire_snapshots(out_dir: str, keep: list[str] | tuple = ()) -> list[str]:
+    """Drop every snapshot not named in `keep` (retention). Removing a
+    snapshot only unlinks its hardlink names; block bytes still referenced
+    by the live table or another snapshot are untouched — bytes are freed
+    exactly when their last referencing snapshot/live name goes (the same
+    reachability contract as Iceberg's expire_snapshots + orphan-file
+    removal, enforced here by the filesystem's link count). Returns the
+    expired tags."""
+    import shutil
+    gone = []
+    for tag in list_snapshots(out_dir):
+        if tag not in keep:
+            shutil.rmtree(os.path.join(out_dir, "snapshots", tag))
+            gone.append(tag)
+    return gone
+
+
+def snapshot_diff(spark: SparkSession, out_dir: str, tag: str,
+                  key_cols: list[str] | None = None) -> DataFrame:
+    """Changed-data capture between a snapshot and the live table:
+    returns the row-level diff as the live rows not in the snapshot
+    (change_type='insert') plus the snapshot rows no longer live
+    ('delete') — an UPDATE appears as delete+insert, the standard CDC
+    decomposition.
+
+    Scale path: the two manifests are joined chunk-by-chunk on
+    (partition_id, chunk_id) and a partition whose every chunk CRC
+    matches is skipped ENTIRELY — neither side's block file is read.
+    Under bucketized upserts/deletes only the touched buckets re-encode
+    (new CRCs), so CDC cost is O(changed buckets), not O(table):
+    consuming the changes of a k-conversation merge into a 10^12-turn
+    table reads k bucket files twice, no matter the table size. The
+    row-level diff within changed partitions is two exceptAll shuffles
+    over those partitions' rows only.
+
+    Additive schema evolution: columns the snapshot predates are decoded
+    as NULL (decode conforms each table to its own meta schema; the diff
+    aligns on the LIVE schema), so rows whose new column is non-NULL
+    correctly surface as updates."""
+    snap = os.path.join(out_dir, "snapshots", tag)
+    if not os.path.isdir(snap):
+        raise ValueError(f"no snapshot {tag!r} under {out_dir}")
+    live_man = (spark.read.parquet(os.path.join(out_dir, "manifest"))
+                .select("partition_id", "chunk_id", "crc32").distinct())
+    snap_man = (spark.read.parquet(os.path.join(snap, "manifest"))
+                .select("partition_id", "chunk_id",
+                        F.col("crc32").alias("crc32_s")).distinct())
+    joined = live_man.join(snap_man, ["partition_id", "chunk_id"], "full")
+    changed = (joined.filter(F.col("crc32").isNull()
+                             | F.col("crc32_s").isNull()
+                             | (F.col("crc32") != F.col("crc32_s")))
+               .select("partition_id").distinct())
+    # one id per changed partition: bounded by #buckets, tiny collect
+    parts = sorted(r["partition_id"] for r in changed.collect())
+    live = decode_table(spark, out_dir, partitions=parts)
+    old = decode_table(spark, snap, partitions=parts)
+    for f in live.schema.fields:            # align evolved columns
+        if f.name not in old.columns:
+            old = old.withColumn(f.name, F.lit(None).cast(f.dataType))
+    old = old.select(*live.columns)
+    ins = live.exceptAll(old).withColumn("change_type", F.lit("insert"))
+    del_ = old.exceptAll(live).withColumn("change_type", F.lit("delete"))
+    return ins.unionByName(del_)
+
+
 def _normalize_arrow_units(tbl: pa.Table) -> pa.Table:
     """Cast non-µs timestamp columns (e.g. ns from INT96 parquet) to µs —
     the unit Spark's Arrow transfer uses — so blocks encoded from a direct
@@ -1587,7 +1652,8 @@ def _pruned_chunks_df(spark: SparkSession, out_dir: str,
 def decode_table(spark: SparkSession, out_dir: str,
                  columns: list[str] | None = None,
                  predicate: tuple | None = None,
-                 join_prune_threshold: int = 200_000) -> DataFrame:
+                 join_prune_threshold: int = 200_000,
+                 partitions: list[int] | None = None) -> DataFrame:
     """Stream block files back into a DataFrame (schema from meta.json).
 
     columns: project at the BLOCK layer — unneeded column frames are
@@ -1608,7 +1674,9 @@ def decode_table(spark: SparkSession, out_dir: str,
     kernel (late materialization): predicate columns decode first, a
     chunk with zero matches never decodes its remaining columns, and
     non-matching rows never cross the Python->JVM boundary; float/
-    datetime predicates rely on the Spark residual filter only."""
+    datetime predicates rely on the Spark residual filter only.
+    partitions: decode only these partition ids' block files (the
+    snapshot_diff CDC path reads only changed partitions)."""
     with open(os.path.join(out_dir, "meta.json")) as f:
         meta = json.load(f)
     schema = StructType.fromJson(meta["spark_schema"])
@@ -1657,6 +1725,12 @@ def decode_table(spark: SparkSession, out_dir: str,
     paths = (sorted(os.path.join(blk_dir, p) for p in os.listdir(blk_dir)
                     if p.endswith(".ssb"))
              if os.path.isdir(blk_dir) else [])
+    if partitions is not None:
+        # partition-subset decode (snapshot_diff's CDC path): only the
+        # named partitions' block files are read at all
+        want_p = set(partitions)
+        paths = [p for p in paths
+                 if int(os.path.basename(p)[5:10]) in want_p]
 
     # kernel-safe predicates: int/string bounds are exact in Arrow (same
     # binary/UTF-8 order as Spark), so they can be evaluated INSIDE the

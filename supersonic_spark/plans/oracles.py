@@ -1549,3 +1549,63 @@ ORACLES["pq_adc_topk"] = _pq_adc_topk_oracle()
 # covering refine / full probing make both searches exactly brute force
 ORACLES["pq_topk_refined"] = ORACLES["ann_topk"]
 ORACLES["ivfpq_topk_indexed"] = ORACLES["ann_topk"]
+
+
+# CDC off snapshot v1 after upserting users 3 and 7 with an UPD_ prefix:
+# their old rows surface as deletes and new rows as inserts
+ORACLES["codec_cdc"] = """
+SELECT event_id, user_id, 'UPD_' || event_type AS event_type,
+       'insert' AS change_type
+FROM events WHERE user_id IN (3, 7)
+UNION ALL
+SELECT event_id, user_id, event_type, 'delete' AS change_type
+FROM events WHERE user_id IN (3, 7)
+"""
+
+
+def _semantic_dedup_oracle(k: int = 4, dim: int = 64,
+                           threshold: float = 0.2) -> str:
+    """SemDeDup twin: literal-centroid cell argmin (same left-assoc term
+    order as the distance fold, lowest-index ties), in-cell pairs at
+    round(cosine, 4) >= threshold, recursive-CTE min-label components,
+    singletons map to themselves."""
+    from supersonic_spark.ann import toy_centroids
+    import numpy as np
+    c = np.asarray(toy_centroids(k, dim), dtype=np.float64)
+    c_sq = (c * c).sum(axis=1)
+
+    def dist(i: int) -> str:
+        terms = [repr(float(c_sq[i]))]
+        for j in range(dim):
+            terms.append(f"e[{j + 1}] * {repr(-2.0 * float(c[i][j]))}")
+        return " + ".join(terms)
+
+    dcols = ",\n       ".join(f"{dist(i)} AS d{i}" for i in range(k))
+    branches = []
+    for i in range(k - 1):
+        cond = " AND ".join(f"d{i} <= d{j}" for j in range(i + 1, k))
+        branches.append(f"WHEN {cond} THEN {i}")
+    argmin = "CASE " + " ".join(branches) + f" ELSE {k - 1} END"
+
+    return f"""
+WITH RECURSIVE b AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+d AS (SELECT vec_id, e, {dcols} FROM b),
+cells AS (SELECT vec_id, e, {argmin} AS cell FROM d),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.e, b.e), 4) >= {threshold}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+comp AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)
+SELECT vec_id AS id,
+       CAST(COALESCE(comp.cluster, vec_id) AS BIGINT) AS rep_id
+FROM embeddings LEFT JOIN comp ON vec_id = comp.id
+"""
+
+
+ORACLES["semantic_dedup"] = _semantic_dedup_oracle()

@@ -372,3 +372,180 @@ def test_ivfpq_index_prunes_partitions(spark, tmp_path):
     want = [(r.vec_id, r.cos_sim)
             for r in cosine_topk_arrow(df, q, 10).collect()]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# CDC / snapshot retention / partition-subset decode
+
+
+def test_snapshot_diff_cdc(spark, tmp_path):
+    """Upsert two conversations + delete one after a snapshot: the diff
+    emits exactly their rows as insert/delete pairs, and an untouched
+    table diffs to empty (all chunk CRCs match -> no block file read)."""
+    from supersonic_spark.pipeline import (EncodeConfig, bucketize_table,
+                                           delete_bucketized,
+                                           encode_table_prebucketed,
+                                           snapshot_diff, snapshot_table,
+                                           upsert_bucketized)
+    rows = [(f"u{i % 20}", i, f"t{i}") for i in range(200)]
+    df = spark.createDataFrame(rows, "conv_id string, v long, text string")
+    bdir = str(tmp_path / "b")
+    bucketize_table(spark, df, bdir, n_buckets=4)
+    out = str(tmp_path / "enc")
+    cfg = EncodeConfig(chunk_rows=64, conv_key="conv_id", order_key="v",
+                       sort_keys=("conv_id", "v"))
+    encode_table_prebucketed(spark, bdir, out, cfg, fingerprint="cdc")
+    snapshot_table(out, "v1")
+
+    assert snapshot_diff(spark, out, "v1").count() == 0  # no changes yet
+
+    upd = (df.filter(F.col("conv_id") == "u3")
+           .withColumn("text", F.concat(F.lit("U:"), F.col("text"))))
+    upsert_bucketized(spark, upd, bdir)
+    delete_bucketized(
+        spark, spark.createDataFrame([("u5",)], "conv_id string"), bdir)
+    encode_table_prebucketed(spark, bdir, out, cfg, fingerprint="cdc")
+
+    diff = snapshot_diff(spark, out, "v1").collect()
+    ins = {(r.conv_id, r.v, r.text) for r in diff
+           if r.change_type == "insert"}
+    dels = {(r.conv_id, r.v, r.text) for r in diff
+            if r.change_type == "delete"}
+    want_ins = {(r.conv_id, r.v, r.text) for r in upd.collect()}
+    want_del = ({(c, v, t) for c, v, t in rows if c == "u3"}
+                | {(c, v, t) for c, v, t in rows if c == "u5"})
+    assert ins == want_ins and dels == want_del
+
+
+def test_snapshot_diff_schema_evolution(spark, tmp_path):
+    """Live table re-encoded with an additive column: snapshot rows are
+    aligned with NULLs in the new column, so every row whose new column
+    is non-NULL appears as delete+insert."""
+    from supersonic_spark.pipeline import (EncodeConfig, encode_table,
+                                           snapshot_diff, snapshot_table)
+    df = spark.createDataFrame([(f"c{i}", i) for i in range(50)],
+                               "conv_id string, v long")
+    out = str(tmp_path / "enc")
+    cfg = EncodeConfig(n_partitions=2, chunk_rows=32, conv_key="conv_id",
+                       order_key="v", sort_keys=("conv_id", "v"))
+    encode_table(spark, df, out, cfg, fingerprint="se1")
+    snapshot_table(out, "v1")
+    df2 = df.withColumn("lang", F.lit("en"))
+    encode_table(spark, df2, out, cfg, fingerprint="se2")
+
+    diff = snapshot_diff(spark, out, "v1")
+    assert set(diff.columns) == {"conv_id", "v", "lang", "change_type"}
+    ins = diff.filter(F.col("change_type") == "insert")
+    dels = diff.filter(F.col("change_type") == "delete")
+    assert ins.count() == 50 and dels.count() == 50
+    assert ins.filter(F.col("lang") == "en").count() == 50
+    assert dels.filter(F.col("lang").isNull()).count() == 50
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="no snapshot"):
+        snapshot_diff(spark, out, "nope")
+
+
+def test_expire_snapshots_retention(spark, tmp_path):
+    """Expiring a snapshot unlinks only its names: the kept snapshot and
+    the live table still decode, including bytes only the kept snapshot
+    references."""
+    from supersonic_spark.pipeline import (EncodeConfig, bucketize_table,
+                                           decode_table, delete_bucketized,
+                                           encode_table_prebucketed,
+                                           expire_snapshots, list_snapshots,
+                                           snapshot_table)
+    rows = [(f"u{i}", i) for i in range(80)]
+    df = spark.createDataFrame(rows, "conv_id string, v long")
+    bdir = str(tmp_path / "b")
+    bucketize_table(spark, df, bdir, n_buckets=4)
+    out = str(tmp_path / "enc")
+    cfg = EncodeConfig(chunk_rows=32, conv_key="conv_id", order_key="v",
+                       sort_keys=("conv_id", "v"))
+    encode_table_prebucketed(spark, bdir, out, cfg, fingerprint="ex")
+    snapshot_table(out, "a")
+    snapshot_table(out, "b")
+    delete_bucketized(
+        spark, spark.createDataFrame([("u0",), ("u1",)], "conv_id string"),
+        bdir)
+    encode_table_prebucketed(spark, bdir, out, cfg, fingerprint="ex")
+
+    assert expire_snapshots(out, keep=["b"]) == ["a"]
+    assert list_snapshots(out) == ["b"]
+    snap_rows = decode_table(
+        spark, str(tmp_path / "enc" / "snapshots" / "b")).count()
+    assert snap_rows == 80                  # pre-delete bytes survive
+    assert decode_table(spark, out).count() == 78
+    assert expire_snapshots(out) == ["b"]   # keep=() drops everything
+    assert list_snapshots(out) == []
+
+
+def test_decode_partition_subset(spark, tmp_path):
+    """decode_table(partitions=[p]) reads exactly partition p's rows
+    (manifest row count agreement), and an empty subset decodes empty."""
+    from supersonic_spark.datagen import generate_transcripts
+    from supersonic_spark.pipeline import (EncodeConfig, decode_table,
+                                           encode_table)
+    src = generate_transcripts(spark, n_convs=100, seed=3)
+    out = str(tmp_path / "enc")
+    cfg = EncodeConfig(n_partitions=4, chunk_rows=512)
+    encode_table(spark, src, out, cfg, fingerprint="ps")
+    man = spark.read.parquet(out + "/manifest")
+    per = {r.partition_id: r.n for r in
+           man.filter(F.col("column") == "conv_id")
+           .groupBy("partition_id").agg(F.sum("n_rows").alias("n"))
+           .collect()}
+    got = decode_table(spark, out, partitions=[2]).count()
+    assert got == per[2] > 0
+    both = decode_table(spark, out, partitions=[0, 3]).count()
+    assert both == per[0] + per[3]
+    assert decode_table(spark, out, partitions=[]).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup
+
+
+def test_semantic_dedup_exact_duplicates(spark):
+    """Injected exact duplicates resolve to the original id as
+    representative; distinct vectors keep themselves (threshold 0.999
+    connects only exact copies on random data)."""
+    from supersonic_spark.ann import semantic_dedup, toy_centroids
+    from supersonic_spark.datagen import generate_clustered_embeddings
+    base = generate_clustered_embeddings(spark, 200, dim=16, n_clusters=4) \
+        .select("vec_id", "embedding")
+    dups = (base.filter(F.col("vec_id") < 30)
+            .withColumn("vec_id", F.col("vec_id") + 10_000))
+    df = base.unionByName(dups)
+    out = {r.id: r.rep_id
+           for r in semantic_dedup(df, toy_centroids(4, 16),
+                                   threshold=0.999).collect()}
+    assert len(out) == 230
+    for vid in range(30):
+        assert out[10_000 + vid] == vid     # duplicate -> original
+        assert out[vid] == vid
+    for vid in range(30, 200):
+        assert out[vid] == vid              # distinct rows keep themselves
+    kept = sum(1 for i, r in out.items() if i == r)
+    assert kept == 200
+
+
+def test_semantic_dedup_transitive_cluster(spark):
+    """A chain a~b, b~c inside one cell collapses to one representative
+    even if a and c are below the pair threshold (connected components,
+    not pairwise filtering)."""
+    import numpy as np
+    from supersonic_spark.ann import semantic_dedup
+    base = np.zeros(8); base[0] = 1.0
+    mid = np.asarray([0.97, 0.2429, 0, 0, 0, 0, 0, 0])
+    far = np.asarray([0.89, 0.456, 0, 0, 0, 0, 0, 0])
+    rows = [(0, [float(v) for v in base]),
+            (1, [float(v) for v in mid / np.linalg.norm(mid)]),
+            (2, [float(v) for v in far / np.linalg.norm(far)]),
+            (3, [0.0] * 7 + [1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [[1.0] + [0.0] * 7, [0.0] * 7 + [1.0]]
+    out = {r.id: r.rep_id
+           for r in semantic_dedup(df, cents, threshold=0.96).collect()}
+    # cos(0,1)=0.97, cos(1,2)~0.965 >= .96, cos(0,2)~0.89 < .96
+    assert out == {0: 0, 1: 0, 2: 0, 3: 3}

@@ -17,6 +17,9 @@ For a sample of query vectors it computes recall@k of
     with the MEASURED scanned fraction of each probe set)
   - ivf_topk_arrow   (coarse quantizer, n_probe sweep; n_probe = k_cells
     is exact by construction and must read 1.0)
+  - pq_topk_refined  (trained product-quantization codebooks; refine
+    sweep — recall is set by the ADC shortlist, scan bytes by the
+    m-byte codes)
 
 against cosine_topk_arrow ground truth. Writes BENCH/ann_recall.json.
 
@@ -103,6 +106,30 @@ def measure(spark, emb, queries, args, label):
         print(f"[{label}] lsh hamming={hamming}: "
               f"{results['lsh'][f'hamming{hamming}']}", flush=True)
 
+    # PQ: trained codebooks, ADC shortlist + exact re-rank; recall is set
+    # by the shortlist (refine factor), scan cost by the m-byte codes
+    from supersonic_spark.pq import (pq_assign_arrow, pq_topk_refined,
+                                     train_pq_codebooks)
+    books = train_pq_codebooks(emb, dim=dim, m=args.pq_m, ksub=16,
+                               lloyd_iters=2)
+    codes = pq_assign_arrow(emb, books).localCheckpoint(eager=True)
+    results["pq"] = {"m": args.pq_m, "ksub": 16,
+                     "bytes_per_vector": args.pq_m,
+                     "code_compression_vs_float32":
+                         round(dim * 4 / args.pq_m, 1),
+                     "refine": {}}
+    for refine in (1, 2, 4, 8):
+        recalls = []
+        for qi, q in enumerate(queries):
+            got = set(ids(pq_topk_refined(emb, q, books, args.k,
+                                          refine=refine, codes_df=codes)))
+            recalls.append(len(got & truth[qi]) / args.k)
+        results["pq"]["refine"][str(refine)] = {
+            "mean_recall": round(sum(recalls) / len(recalls), 4),
+            "min_recall": round(min(recalls), 4)}
+        print(f"[{label}] pq refine={refine}: "
+              f"{results['pq']['refine'][str(refine)]}", flush=True)
+
     exact_probe = results["ivf"][str(args.cells)]
     assert exact_probe["mean_recall"] == 1.0, \
         "full probing must be exact — quantizer bug"
@@ -116,6 +143,7 @@ def main():
     ap.add_argument("--k", type=int, default=20)
     ap.add_argument("--cells", type=int, default=16)
     ap.add_argument("--planes", type=int, default=8)
+    ap.add_argument("--pq-m", type=int, default=8)
     ap.add_argument("--clustered-n", type=int, default=60000)
     ap.add_argument("--skip-uniform", action="store_true")
     ap.add_argument("--skip-clustered", action="store_true")
