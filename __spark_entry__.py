@@ -2105,6 +2105,89 @@ def q_semantic_dedup(spark, sf):
     return semantic_dedup(e, toy_centroids(4, 64), threshold=0.2)
 
 
+def q_interval_join(spark, sf):
+    """Batch twin of the watermarked stream-stream interval join: views
+    paired with the same user's purchases within the next 2 hours. The
+    IDENTICAL function runs on readStream inputs (pytest proves
+    stream == batch on replayed micro-batches); in batch mode Spark
+    ignores the watermark and plans a range-condition join."""
+    from supersonic_spark.streaming import interval_join
+    ev = _t(spark, sf, "events")
+    views = (ev.filter(F.col("event_type") == "view")
+             .select("user_id", F.col("ts").alias("l_ts"),
+                     F.col("event_id").alias("l_id")))
+    buys = (ev.filter(F.col("event_type") == "purchase")
+            .select(F.col("user_id").alias("r_user"),
+                    F.col("ts").alias("r_ts"),
+                    F.col("event_id").alias("r_id")))
+    j = interval_join(views, buys, "user_id", "r_user", "l_ts", "r_ts",
+                      lower_seconds=0, upper_seconds=7200)
+    return j.select("user_id", "l_id", "r_id")
+
+
+def q_text_repetition(spark, sf):
+    """Gopher-style repetition filters as one shuffle-free codegen
+    projection. The synthetic corpus has no natural line repetition, so
+    the gate derives a text that provably does — each doc plus two
+    copies of its first 80 chars as extra lines — and both sides compute
+    the four metrics + composite flag over that derived column."""
+    from supersonic_spark.text.repetition import repetition_metrics
+    d = _t(spark, sf, "documents")
+    rep = d.select(
+        "doc_id",
+        F.concat_ws("\n", F.col("text"), F.substring("text", 1, 80),
+                    F.substring("text", 1, 80)).alias("text"))
+    return repetition_metrics(rep)
+
+
+def q_decontaminate(spark, sf):
+    """Benchmark decontamination: the 'benchmark suite' is every 97th
+    document; training docs sharing any word 4-gram with it are flagged.
+    Corpus side joins against a broadcast of the benchmark grams."""
+    from supersonic_spark.text.decontaminate import decontaminate
+    d = _t(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    return decontaminate(d, bench, n=4)
+
+
+def q_sketch_kmv_distinct(spark, sf):
+    """KMV distinct-count sketch over orders.o_custkey. k=16384 exceeds
+    the column's cardinality at gate scales, so the sketch has seen every
+    distinct hash and the estimate is EXACT — DuckDB verifies with plain
+    COUNT(DISTINCT). The sub-k estimator path (where the sketch is
+    approximate by design) is accuracy-gated in pytest instead."""
+    from supersonic_spark.functions.sketches import kmv_distinct_count_df
+    o = _t(spark, sf, "orders")
+    return kmv_distinct_count_df(o, "o_custkey", k=16384)
+
+
+def q_codec_rebucket(spark, sf):
+    """Partition evolution: events bucketized at 4 buckets, evolved to 8
+    via the shuffle-free rebucket (pmod arithmetic split, task-local
+    dynamic-partition write), then encoded shuffle-free from the evolved
+    layout and decoded. Proves the evolved layout preserves the
+    whole-conversation-per-file invariant end-to-end."""
+    import tempfile
+    from supersonic_spark.pipeline import (EncodeConfig, bucketize_table,
+                                           decode_table,
+                                           encode_table_prebucketed,
+                                           rebucket_table)
+    ev = _t(spark, sf, "events").select("event_id", "ts", "user_id",
+                                        "event_type", "value")
+    bdir = tempfile.mkdtemp(prefix="ss_rbk_bkt_")
+    bucketize_table(spark, ev, bdir, n_buckets=4, conv_key="user_id")
+    rdir = tempfile.mkdtemp(prefix="ss_rbk_evolved_")
+    rebucket_table(spark, bdir, rdir, factor=2)
+    out = tempfile.mkdtemp(prefix="ss_rbk_enc_")
+    cfg = EncodeConfig(chunk_rows=1024, conv_key="user_id",
+                       order_key="event_id",
+                       sort_keys=("user_id", "event_id"))
+    encode_table_prebucketed(spark, rdir, out, cfg, fingerprint="rbk-gate")
+    dec = decode_table(spark, out,
+                       columns=["event_id", "user_id", "event_type"])
+    return dec.select("event_id", "user_id", "event_type")
+
+
 # PQ gate model: m=8 subspaces, ksub=4 codewords, dsub=8 (dim 64); the
 # codebooks are pinned deterministic literals (toy_pq_codebooks) so the
 # DuckDB oracle can embed the exact same model — same trick as the LSH
@@ -2351,6 +2434,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_topk_indexed": q_ivfpq_topk_indexed,
         "codec_cdc": q_codec_cdc,
         "semantic_dedup": q_semantic_dedup,
+        # --- round-5c additions ---
+        "text_repetition": q_text_repetition,
+        "decontaminate": q_decontaminate,
+        "sketch_kmv_distinct": q_sketch_kmv_distinct,
+        "codec_rebucket": q_codec_rebucket,
+        "interval_join": q_interval_join,
     }
 
 

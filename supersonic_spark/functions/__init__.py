@@ -1,5 +1,12 @@
 """Expression-level function library (SURVEY.md §2.7-2.8)."""
 
+from .sketches import (
+    approx_distinct,
+    kmv_distinct_count,
+    kmv_estimate,
+    kmv_merge,
+    kmv_partials,
+)
 from .stateful import (
     changed,
     running_min_with_flush,
@@ -9,7 +16,12 @@ from .stateful import (
 )
 
 __all__ = [
+    "approx_distinct",
     "changed",
+    "kmv_distinct_count",
+    "kmv_estimate",
+    "kmv_merge",
+    "kmv_partials",
     "running_min_with_flush",
     "running_sum",
     "smudge",

@@ -1,0 +1,109 @@
+"""Mergeable cardinality sketches for 100 TB-scale profiling.
+
+KMV (k-minimum-values, Bar-Yossef et al. 2002): keep the k smallest
+distinct 64-bit hash values of a column; the k-th smallest normalized
+hash estimates the distinct count as (k-1)/h_k. Properties that matter
+at scale:
+
+- **Map-side only.** Each partition emits at most k hashes (an Arrow
+  kernel with a bounded np.unique/partition per batch), so the shuffle
+  is O(partitions x k) rows regardless of input size — unlike exact
+  COUNT(DISTINCT), whose exchange carries every distinct value.
+- **Mergeable.** Sketches from different partitions/tables merge by
+  union + re-truncate to k smallest — the final merge here is a single
+  top-k (TakeOrderedAndProject), never a wide shuffle.
+- **Exact below k.** If fewer than k distinct hashes exist, the sketch
+  has seen every one and reports the exact distinct count. The driver
+  gate exploits this (k chosen above the column's cardinality) so the
+  result is DuckDB-verifiable; the estimator path is accuracy-tested in
+  pytest at cardinalities far above k.
+
+Hashing is Spark's xxhash64 (stable across sessions/versions by spec);
+collisions at 64 bits are negligible below ~2^32 distinct values.
+
+Beyond-reference surface: Supersonic exposes COUNT-DISTINCT via
+HybridGroupAggregate (reference: supersonic/cursor/core/aggregate.h)
+but no sub-linear sketch; this is the Spark-first scale path next to
+the exact gates (agg_distinct, multi_distinct_rewrite).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_TWO63 = 2 ** 63
+_TWO64 = 2 ** 64
+
+
+def kmv_partials(df: DataFrame, col: str, k: int = 1024) -> DataFrame:
+    """Per-partition KMV partials: at most k distinct xxhash64 values per
+    input partition, one output column ``h`` (long). Arrow-batched; the
+    per-partition state is a bounded k-length array."""
+    hashed = df.select(F.xxhash64(F.col(col)).alias("h"))
+
+    def run(batches):
+        from supersonic_spark.runtime import pin_worker_threads
+        pin_worker_threads()
+        import numpy as np
+        import pyarrow as pa
+        best = None                      # sorted ascending, len <= k
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            vals = np.asarray(batch.column(0), dtype=np.int64)
+            # unsigned ordering so the estimator's [0, 2^64) mapping and
+            # the "k smallest" truncation agree
+            u = vals.astype(np.uint64) + np.uint64(_TWO63)
+            u = np.unique(u)             # sorted ascending
+            best = u[:k] if best is None else \
+                np.unique(np.concatenate([best, u]))[:k]
+        if best is not None and len(best):
+            signed = (best - np.uint64(_TWO63)).astype(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(signed, pa.int64())], ["h"])
+
+    return hashed.mapInArrow(run, schema="h long")
+
+
+_MIN_LONG = -(2 ** 63)
+
+
+def kmv_merge(partials: DataFrame, k: int = 1024) -> list[int]:
+    """Union partition partials and keep the k smallest distinct hashes
+    (unsigned order). The distinct + top-k runs over O(partitions x k)
+    rows — trivial regardless of input size. XOR with the sign bit maps
+    unsigned order onto signed order, no widening needed."""
+    rows = (partials.select("h").distinct()
+            .orderBy(F.col("h").bitwiseXOR(F.lit(_MIN_LONG)))
+            .limit(k).collect())
+    return [r["h"] for r in rows]
+
+
+def kmv_estimate(hashes: list[int], k: int) -> int:
+    """Distinct-count estimate from a merged sketch. Exact when the
+    sketch holds fewer than k hashes (every distinct value was seen)."""
+    if len(hashes) < k:
+        return len(hashes)
+    u_k = hashes[k - 1] + _TWO63         # k-th smallest in [0, 2^64)
+    if u_k <= 0:
+        return len(hashes)
+    return int(round((k - 1) * _TWO64 / u_k))
+
+
+def kmv_distinct_count(df: DataFrame, col: str, k: int = 1024) -> int:
+    """End-to-end KMV distinct count of ``df[col]``."""
+    return kmv_estimate(kmv_merge(kmv_partials(df, col, k), k), k)
+
+
+def kmv_distinct_count_df(df: DataFrame, col: str, k: int = 1024) -> DataFrame:
+    """Gate-shaped variant: one row (n_distinct long) as a DataFrame."""
+    spark = df.sparkSession
+    n = kmv_distinct_count(df, col, k)
+    return spark.createDataFrame([(n,)], "n_distinct long")
+
+
+def approx_distinct(df: DataFrame, col: str, rsd: float = 0.02) -> Column:
+    """Spark's native HyperLogLog++ for comparison/fallback — fully
+    JVM-side, no Python round trip; rsd trades sketch size for error."""
+    return F.approx_count_distinct(F.col(col), rsd)

@@ -934,6 +934,66 @@ def delete_bucketized(spark: SparkSession, keys: DataFrame,
     return affected
 
 
+def rebucket_table(spark: SparkSession, bucket_dir: str, dest_dir: str,
+                   factor: int = 2) -> str:
+    """Partition evolution WITHOUT a shuffle: scale a bucketize_table
+    layout from n to factor*n buckets (Iceberg's bucket(n) ->
+    bucket(factor*n) partition-spec evolution).
+
+    The trick is arithmetic, not data movement: bucket ids are
+    pmod(murmur3(key), n), and pmod(h, factor*n) mod n == pmod(h, n) —
+    so every row of old bucket b can only land in new buckets
+    {b, b+n, ..., b+(factor-1)*n}. Each read task therefore splits its
+    rows locally among files it writes itself: the plan is scan ->
+    dynamic-partition write (a task-local sort on the new bucket id),
+    with NO exchange. At 10^12-turn scale this is how a table outgrows
+    its bucket count — a parallel file-grain rewrite at full scan
+    bandwidth, vs. the wide repartition shuffle a naive re-bucketize
+    pays. The source layout is left untouched (snapshot-friendly);
+    every bucket's content changes, so a following
+    encode_table_prebucketed of dest_dir is a fresh encode by design.
+
+    Mirrors bucketize_table's layout contract: files named
+    part-{id:05d}-*.parquet, ids positional in sorted order, empty new
+    buckets simply absent (same as a repartition write)."""
+    import re as _re
+    import shutil
+    import uuid as _uuid
+    import pyarrow.parquet as _pq
+    if factor < 2 or int(factor) != factor:
+        raise ValueError(f"factor must be an integer >= 2, got {factor}")
+    with open(os.path.join(bucket_dir, "_buckets.json")) as f:
+        bmeta = json.load(f)
+    n, conv_key = bmeta["n_buckets"], bmeta["conv_key"]
+    m = n * int(factor)
+    df = spark.read.parquet(bucket_dir)
+    os.makedirs(dest_dir, exist_ok=True)
+    tmp = os.path.join(dest_dir, f"_rebucket_tmp_{_uuid.uuid4().hex[:8]}")
+    (df.withColumn("__nb", F.pmod(F.hash(F.col(conv_key)), F.lit(m)))
+       .write.partitionBy("__nb").parquet(tmp))
+    stamp = _uuid.uuid4().hex[:8]
+    for d in os.listdir(tmp):
+        mt = _re.match(r"__nb=(\d+)$", d)
+        if not mt:
+            continue
+        b = int(mt.group(1))
+        files = sorted(p for p in os.listdir(os.path.join(tmp, d))
+                       if p.endswith(".parquet"))
+        dest = os.path.join(dest_dir, f"part-{b:05d}-rbk{stamp}.parquet")
+        if len(files) == 1:
+            os.replace(os.path.join(tmp, d, files[0]), dest)
+        elif files:
+            # an input file larger than maxPartitionBytes was split
+            # across tasks, so this new bucket arrived in pieces —
+            # concatenate row groups (no decode of column data)
+            tabs = [_pq.read_table(os.path.join(tmp, d, p)) for p in files]
+            _pq.write_table(pa.concat_tables(tabs), dest)
+    shutil.rmtree(tmp, ignore_errors=True)
+    with open(os.path.join(dest_dir, "_buckets.json"), "w") as f:
+        json.dump({"n_buckets": m, "conv_key": conv_key}, f)
+    return dest_dir
+
+
 def snapshot_table(out_dir: str, tag: str) -> str:
     """Zero-copy snapshot of an encoded table (time travel): hardlink
     every block file and every manifest parquet file, copy meta.json,

@@ -1609,3 +1609,122 @@ FROM embeddings LEFT JOIN comp ON vec_id = comp.id
 
 
 ORACLES["semantic_dedup"] = _semantic_dedup_oracle()
+
+# Gopher-style repetition metrics over a derived text (the doc plus two
+# repeated first-80-char lines, so dup-line/dup-gram paths exercise
+# nonzero values on the synthetic corpus). Tie-break for the top 2-gram
+# mirrors Spark's struct-max: max count, then lexicographically greatest
+# gram. The composite flag compares the ROUNDED metrics on both sides.
+ORACLES["text_repetition"] = r"""
+WITH src AS (
+  SELECT doc_id,
+         concat_ws(chr(10), text, substr(text, 1, 80),
+                   substr(text, 1, 80)) AS text
+  FROM documents),
+base AS (
+  SELECT doc_id, text,
+    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                x -> length(x) > 0) AS lines,
+    list_filter(
+      CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+           ELSE string_split_regex(trim(text), '\s+') END,
+      x -> length(x) > 0) AS toks
+  FROM src),
+g AS (
+  SELECT doc_id, text, lines,
+    CASE WHEN len(toks) >= 2
+         THEN list_transform(generate_series(1, len(toks)-1),
+                             i -> toks[i] || ' ' || toks[i+1])
+         ELSE []::VARCHAR[] END AS grams2,
+    CASE WHEN len(toks) >= 3
+         THEN list_transform(generate_series(1, len(toks)-2),
+                             i -> toks[i] || ' ' || toks[i+1] || ' '
+                                  || toks[i+2])
+         ELSE []::VARCHAR[] END AS grams3
+  FROM base),
+m AS (
+  SELECT doc_id,
+    CASE WHEN len(lines) > 0
+         THEN round(1.0 - len(list_distinct(lines)) / len(lines), 4)
+         ELSE 0.0 END AS dup_line_frac,
+    CASE WHEN coalesce(list_sum(list_transform(lines, x -> length(x))), 0) > 0
+         THEN round(list_sum(list_transform(list_distinct(lines),
+                d -> (len(list_filter(lines, x -> x = d)) - 1) * length(d)))
+              / list_sum(list_transform(lines, x -> length(x))), 4)
+         ELSE 0.0 END AS dup_line_char_frac,
+    CASE WHEN len(grams2) > 0 AND length(text) > 0
+         THEN round(
+           list_max(list_transform(list_distinct(grams2),
+                    g -> len(list_filter(grams2, x -> x = g))))
+           * length(list_max(list_filter(list_distinct(grams2),
+               g -> len(list_filter(grams2, x -> x = g)) =
+                    list_max(list_transform(list_distinct(grams2),
+                             h -> len(list_filter(grams2, x -> x = h)))))))
+           / length(text), 4)
+         ELSE 0.0 END AS top_2gram_char_frac,
+    CASE WHEN length(text) > 0
+         THEN round(least(coalesce(list_sum(list_transform(
+                list_distinct(grams3),
+                g -> CASE WHEN len(list_filter(grams3, x -> x = g)) > 1
+                          THEN len(list_filter(grams3, x -> x = g))
+                               * length(g)
+                          ELSE 0 END)), 0) / length(text), 1.0), 4)
+         ELSE 0.0 END AS dup_3gram_char_frac
+  FROM g)
+SELECT doc_id, dup_line_frac, dup_line_char_frac, top_2gram_char_frac,
+       dup_3gram_char_frac,
+       (dup_line_frac > 0.30 OR dup_line_char_frac > 0.20
+        OR top_2gram_char_frac > 0.20 OR dup_3gram_char_frac > 0.60)
+       AS repetitive
+FROM m
+"""
+
+# benchmark set = every 97th doc; overlap counts DISTINCT shared word
+# 4-grams (both sides shingle over the distinct-gram set, the same
+# word_ngrams expression the MinHash stack uses)
+ORACLES["decontaminate"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\s+') END AS toks
+  FROM documents),
+grams AS (
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(toks) >= 4
+                THEN list_transform(generate_series(1, len(toks)-3),
+                       i -> toks[i] || ' ' || toks[i+1] || ' '
+                            || toks[i+2] || ' ' || toks[i+3])
+                ELSE []::VARCHAR[] END)) AS gram
+  FROM toks),
+bench AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT g.doc_id, count(DISTINCT g.gram) AS n_overlap
+  FROM grams g JOIN bench USING (gram)
+  GROUP BY g.doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+       coalesce(h.n_overlap, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+
+# KMV sketch with k above the column's cardinality == exact distinct
+# count (the estimator path below k is pytest-gated for accuracy)
+ORACLES["sketch_kmv_distinct"] = """
+SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct FROM orders
+"""
+
+# rebucket is pure layout evolution: decoded content must equal the
+# source table exactly
+ORACLES["codec_rebucket"] = """
+SELECT event_id, user_id, event_type FROM events
+"""
+
+# batch twin of the stream-stream interval join (watermark is a no-op
+# in batch; the range condition is the semantics)
+ORACLES["interval_join"] = """
+SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id
+FROM events l JOIN events r ON l.user_id = r.user_id
+WHERE l.event_type = 'view' AND r.event_type = 'purchase'
+  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 2 HOUR
+"""

@@ -221,3 +221,44 @@ def dedup_stream(stream: DataFrame, hash_col: str,
                 stateStructType="seen boolean", outputMode="append",
                 timeoutConf=("EventTimeTimeout" if horizon_ms is not None
                              else "NoTimeout")))
+
+
+def interval_join(left: DataFrame, right: DataFrame,
+                  left_key: str, right_key: str,
+                  left_time: str, right_time: str,
+                  lower_seconds: int, upper_seconds: int,
+                  watermark_delay: str = "10 minutes",
+                  how: str = "inner") -> DataFrame:
+    """Event-time interval join: pair each left row with the right rows of
+    the same key whose time falls in [left_time + lower, left_time +
+    upper]. On STREAMING inputs this is Spark's watermarked
+    stream-stream join — the time bound is what lets the state store
+    evict buffered rows once the watermark passes, so state is
+    O(rows per key per interval), never the whole stream. On STATIC
+    inputs the same plan is an ordinary range-condition join (Spark
+    ignores withWatermark in batch), which is exactly what makes the
+    semantics DuckDB-verifiable: the driver gate runs the batch twin,
+    pytest proves stream == batch on replayed micro-batches.
+
+    Columns of both inputs must be disjoint except for the join keys;
+    the right key column is dropped from the output (it equals the
+    left's). ``how`` may be "inner" or "leftOuter" (outer emission waits
+    for the watermark on streams).
+    """
+    if how not in ("inner", "leftOuter"):
+        raise ValueError(f"unsupported join type {how!r}")
+    overlap = (set(left.columns) & set(right.columns)) - {left_key}
+    if overlap:
+        raise ValueError(f"ambiguous columns {sorted(overlap)}; rename "
+                         "one side before joining")
+    lw = left.withWatermark(left_time, watermark_delay)
+    rw = right.withWatermark(right_time, watermark_delay)
+    cond = (
+        (lw[left_key] == rw[right_key])
+        & (rw[right_time] >= lw[left_time]
+           + F.expr(f"INTERVAL {int(lower_seconds)} SECONDS"))
+        & (rw[right_time] <= lw[left_time]
+           + F.expr(f"INTERVAL {int(upper_seconds)} SECONDS")))
+    out = lw.join(rw, cond, how)
+    return out.drop(rw[right_key]) if right_key == left_key else \
+        out.drop(right_key)

@@ -1,5 +1,6 @@
 """Text analysis + deduplication for large-scale training-data pipelines."""
 
+from .repetition import repetition_metrics
 from .analysis import (
     doc_fingerprint,
     langid_expr,
@@ -7,6 +8,7 @@ from .analysis import (
     quality_score,
     token_count,
 )
+from .decontaminate import decontaminate
 from .dedup import (
     exact_dedup,
     minhash_signature,
@@ -15,6 +17,7 @@ from .dedup import (
 )
 
 __all__ = [
+    "decontaminate",
     "doc_fingerprint",
     "exact_dedup",
     "langid_expr",
@@ -22,6 +25,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "portable_hash64",
     "quality_score",
+    "repetition_metrics",
     "simhash64",
     "token_count",
 ]

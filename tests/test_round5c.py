@@ -1,0 +1,244 @@
+"""Round-5c additions: repetition quality filters, benchmark
+decontamination, KMV distinct sketch, shuffle-free bucket evolution."""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# --- repetition metrics ----------------------------------------------------
+
+def _metrics(spark, texts):
+    from supersonic_spark.text.repetition import repetition_metrics
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    rows = repetition_metrics(df).collect()
+    return {r["doc_id"]: r for r in rows}
+
+
+def test_repetition_hand_computed(spark):
+    m = _metrics(spark, ["aaa bbb\naaa bbb\nccc"])[0]
+    assert m["dup_line_frac"] == pytest.approx(0.3333)
+    assert m["dup_line_char_frac"] == pytest.approx(round(7 / 17, 4))
+    assert m["top_2gram_char_frac"] == pytest.approx(round(14 / 19, 4))
+    assert m["dup_3gram_char_frac"] == 0.0
+    assert m["repetitive"] is True
+
+
+def test_repetition_top2gram_tie_breaks_greatest(spark):
+    # "x y" and "a b" both occur twice; the lexicographically greatest
+    # gram wins, so covered chars = 2 * len("x y") = 6 over len 15
+    m = _metrics(spark, ["x y x y a b a b"])[0]
+    assert m["top_2gram_char_frac"] == pytest.approx(0.4)
+
+
+def test_repetition_dup3gram(spark):
+    # "a b c" appears twice among the 3-grams
+    text = "a b c a b c"          # grams3: "a b c","b c a","c a b","a b c"
+    m = _metrics(spark, [text])[0]
+    assert m["dup_3gram_char_frac"] == pytest.approx(
+        round(min(2 * 5 / len(text), 1.0), 4))
+
+
+def test_repetition_degenerate_inputs(spark):
+    out = _metrics(spark, ["", "   ", "\n\n\n", "one"])
+    for i in range(4):
+        r = out[i]
+        assert r["dup_line_frac"] == 0.0
+        assert r["dup_line_char_frac"] == 0.0
+        assert r["top_2gram_char_frac"] == 0.0
+        assert r["dup_3gram_char_frac"] == 0.0
+        assert r["repetitive"] is False
+
+
+def test_repetition_plan_has_no_exchange(spark):
+    from supersonic_spark.text.repetition import repetition_metrics
+    df = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
+    plan = repetition_metrics(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# --- decontamination -------------------------------------------------------
+
+def test_decontaminate_flags_overlap(spark):
+    from supersonic_spark.text.decontaminate import decontaminate
+    docs = spark.createDataFrame(
+        [(1, "two three four five six"),
+         (2, "totally unrelated words here now"),
+         (3, "one two three four five")],
+        "doc_id long, text string")
+    bench = docs.filter(F.col("doc_id") == 3)
+    got = {r["doc_id"]: r for r in decontaminate(docs, bench, n=4).collect()}
+    assert got[1]["n_overlap"] == 1 and got[1]["contaminated"] is True
+    assert got[2]["n_overlap"] == 0 and got[2]["contaminated"] is False
+    # the benchmark doc itself fully overlaps (its own two 4-grams)
+    assert got[3]["n_overlap"] == 2 and got[3]["contaminated"] is True
+
+
+def test_decontaminate_counts_distinct_grams_once(spark):
+    from supersonic_spark.text.decontaminate import decontaminate
+    # the shared 4-gram occurs twice in doc 1 but counts once
+    docs = spark.createDataFrame(
+        [(1, "p q r s p q r s"), (2, "p q r s")],
+        "doc_id long, text string")
+    bench = docs.filter(F.col("doc_id") == 2)
+    got = {r["doc_id"]: r["n_overlap"]
+           for r in decontaminate(docs, bench, n=4).collect()}
+    assert got[1] == 1
+
+
+# --- KMV distinct sketch ---------------------------------------------------
+
+def test_kmv_exact_below_k(spark):
+    from supersonic_spark.functions.sketches import kmv_distinct_count
+    df = spark.range(10_000).select((F.col("id") % 300).alias("v"))
+    assert kmv_distinct_count(df, "v", k=512) == 300
+
+
+def test_kmv_estimate_accuracy_above_k(spark):
+    from supersonic_spark.functions.sketches import kmv_distinct_count
+    df = spark.range(50_000).select(
+        F.concat(F.lit("u"), F.col("id")).alias("v"))
+    est = kmv_distinct_count(df, "v", k=1024)
+    # KMV relative error ~ 1/sqrt(k) ~ 3.1%; allow 4 sigma
+    assert abs(est - 50_000) / 50_000 < 0.125
+
+
+def test_kmv_partials_bounded(spark):
+    from supersonic_spark.functions.sketches import kmv_partials
+    df = spark.range(20_000).repartition(8)
+    n = kmv_partials(df, "id", k=16).count()
+    assert n <= 16 * 8
+
+
+# --- shuffle-free bucket evolution -----------------------------------------
+
+def _bucket_files(d):
+    return sorted(p for p in os.listdir(d)
+                  if re.match(r"part-\d{5}-.*\.parquet$", p))
+
+
+def test_rebucket_preserves_rows_and_hash_classes(spark, tmp_path):
+    from supersonic_spark.pipeline import bucketize_table, rebucket_table
+    df = spark.createDataFrame(
+        [(i % 200, i, i * 3) for i in range(2000)],
+        "conv_id long, turn_idx long, v long")
+    bdir, rdir = str(tmp_path / "b"), str(tmp_path / "r")
+    bucketize_table(spark, df, bdir, n_buckets=5)
+    rebucket_table(spark, bdir, rdir, factor=2)
+
+    import json
+    with open(os.path.join(rdir, "_buckets.json")) as f:
+        meta = json.load(f)
+    assert meta["n_buckets"] == 10 and meta["conv_key"] == "conv_id"
+
+    # every file holds exactly its pmod(hash, 10) class
+    for p in _bucket_files(rdir):
+        b = int(p.split("-")[1])
+        got = (spark.read.parquet(os.path.join(rdir, p))
+               .select(F.pmod(F.hash("conv_id"), F.lit(10)).alias("nb"))
+               .distinct().collect())
+        assert {r["nb"] for r in got} <= {b}
+
+    # content identical to the source table
+    before = sorted((r["conv_id"], r["turn_idx"], r["v"])
+                    for r in df.collect())
+    after = sorted((r["conv_id"], r["turn_idx"], r["v"])
+                   for r in spark.read.parquet(rdir).collect())
+    assert after == before
+
+
+def test_rebucket_plan_has_no_exchange(spark, tmp_path):
+    """The evolution job is scan -> dynamic-partition write: no shuffle.
+    Asserted on the equivalent write plan (same expressions rebucket
+    runs), since the write itself leaves no inspectable DataFrame."""
+    from supersonic_spark.pipeline import bucketize_table
+    df = spark.createDataFrame([(i, i) for i in range(100)],
+                               "conv_id long, v long")
+    bdir = str(tmp_path / "b")
+    bucketize_table(spark, df, bdir, n_buckets=2)
+    staged = (spark.read.parquet(bdir)
+              .withColumn("__nb", F.pmod(F.hash("conv_id"), F.lit(4))))
+    plan = staged._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_rebucket_then_upsert_routes_correctly(spark, tmp_path):
+    from supersonic_spark.pipeline import (bucketize_table, rebucket_table,
+                                           upsert_bucketized)
+    df = spark.createDataFrame(
+        [(i % 50, i, 0) for i in range(500)],
+        "conv_id long, turn_idx long, v long")
+    bdir, rdir = str(tmp_path / "b"), str(tmp_path / "r")
+    bucketize_table(spark, df, bdir, n_buckets=3)
+    rebucket_table(spark, bdir, rdir, factor=3)
+    upd = spark.createDataFrame(
+        [(7, 999, 42)], "conv_id long, turn_idx long, v long")
+    upsert_bucketized(spark, upd, rdir)
+    got = spark.read.parquet(rdir).filter(F.col("conv_id") == 7).collect()
+    assert [(r["turn_idx"], r["v"]) for r in got] == [(999, 42)]
+    n_other = spark.read.parquet(rdir).filter(F.col("conv_id") != 7).count()
+    assert n_other == 490
+
+
+def test_rebucket_validates_factor(spark, tmp_path):
+    from supersonic_spark.pipeline import bucketize_table, rebucket_table
+    df = spark.createDataFrame([(1, 1)], "conv_id long, v long")
+    bdir = str(tmp_path / "b")
+    bucketize_table(spark, df, bdir, n_buckets=2)
+    with pytest.raises(ValueError):
+        rebucket_table(spark, bdir, str(tmp_path / "r"), factor=1)
+
+
+# --- stream-stream interval join -------------------------------------------
+
+def test_interval_join_stream_equals_batch(spark, tmp_path):
+    """The same interval_join call over readStream inputs (availableNow
+    replay, append memory sink) must equal its batch twin."""
+    import datetime as dt
+    from supersonic_spark.streaming import interval_join
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    views = [(i % 4, base + dt.timedelta(minutes=3 * i), 1000 + i)
+             for i in range(60)]
+    buys = [(i % 4, base + dt.timedelta(minutes=3 * i + (i * 7) % 45),
+             2000 + i) for i in range(60)]
+    vdir, bdir = str(tmp_path / "v"), str(tmp_path / "b")
+    spark.createDataFrame(views, "user_id int, l_ts timestamp, l_id int") \
+         .repartition(3).write.parquet(vdir)
+    spark.createDataFrame(buys, "r_user int, r_ts timestamp, r_id int") \
+         .repartition(3).write.parquet(bdir)
+
+    def join(l, r):
+        return interval_join(l, r, "user_id", "r_user", "l_ts", "r_ts",
+                             lower_seconds=0, upper_seconds=1800,
+                             watermark_delay="5 minutes") \
+            .select("user_id", "l_id", "r_id")
+
+    batch = join(spark.read.parquet(vdir), spark.read.parquet(bdir))
+    vs = spark.read.parquet(vdir).schema
+    bs = spark.read.parquet(bdir).schema
+    stream = join(spark.readStream.schema(vs).parquet(vdir),
+                  spark.readStream.schema(bs).parquet(bdir))
+    q = (stream.writeStream.format("memory").queryName("ij_equiv")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM ij_equiv")
+
+    key = lambda rows: sorted((r["user_id"], r["l_id"], r["r_id"])
+                              for r in rows)
+    assert key(got.collect()) == key(batch.collect())
+    assert len(key(batch.collect())) > 0
+
+
+def test_interval_join_rejects_ambiguous_columns(spark):
+    import pytest as _pytest
+    from supersonic_spark.streaming import interval_join
+    df = spark.createDataFrame([(1,)], "user_id int") \
+              .withColumn("ts", F.current_timestamp())
+    with _pytest.raises(ValueError):
+        interval_join(df, df, "user_id", "user_id", "ts", "ts", 0, 10)
