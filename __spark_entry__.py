@@ -2161,6 +2161,28 @@ def q_sketch_kmv_distinct(spark, sf):
     return kmv_distinct_count_df(o, "o_custkey", k=16384)
 
 
+def q_sketch_heavy_hitters(spark, sf):
+    """Misra-Gries frequent items over o_orderpriority with k far above
+    the column's cardinality — no reduction ever fires, so the sketch
+    counts are EXACT and DuckDB verifies with GROUP BY count(*). The
+    approximation guarantee (undercount <= n/(k+1), every item above
+    that threshold present) is pytest-gated on skewed data."""
+    from supersonic_spark.functions.sketches import mg_heavy_hitters
+    o = _t(spark, sf, "orders")
+    return mg_heavy_hitters(o, "o_orderpriority", k=64)
+
+
+def q_split_train_val_test(spark, sf):
+    """Deterministic corpus split: labels are a pure function of
+    (salt, doc_id) via the portable hash — append-stable, partition-
+    independent, reproducible in any engine (the oracle recomputes the
+    same md5 arithmetic)."""
+    from supersonic_spark.text.curate import train_val_test_split
+    d = _t(spark, sf, "documents")
+    return train_val_test_split(d, (0.9, 0.05, 0.05)) \
+        .select("doc_id", "split")
+
+
 def q_codec_rebucket(spark, sf):
     """Partition evolution: events bucketized at 4 buckets, evolved to 8
     via the shuffle-free rebucket (pmod arithmetic split, task-local
@@ -2440,6 +2462,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_kmv_distinct": q_sketch_kmv_distinct,
         "codec_rebucket": q_codec_rebucket,
         "interval_join": q_interval_join,
+        "sketch_heavy_hitters": q_sketch_heavy_hitters,
+        "split_train_val_test": q_split_train_val_test,
     }
 
 

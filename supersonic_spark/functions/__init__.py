@@ -6,6 +6,8 @@ from .sketches import (
     kmv_estimate,
     kmv_merge,
     kmv_partials,
+    mg_heavy_hitters,
+    mg_partials,
 )
 from .stateful import (
     changed,
@@ -22,6 +24,8 @@ __all__ = [
     "kmv_estimate",
     "kmv_merge",
     "kmv_partials",
+    "mg_heavy_hitters",
+    "mg_partials",
     "running_min_with_flush",
     "running_sum",
     "smudge",

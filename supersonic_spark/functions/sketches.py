@@ -107,3 +107,65 @@ def approx_distinct(df: DataFrame, col: str, rsd: float = 0.02) -> Column:
     """Spark's native HyperLogLog++ for comparison/fallback — fully
     JVM-side, no Python round trip; rsd trades sketch size for error."""
     return F.approx_count_distinct(F.col(col), rsd)
+
+
+def mg_partials(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """Misra-Gries frequent-items partials: at most k (value, cnt)
+    counters per partition, maintained with the mergeable-summaries
+    batch reduction (Agarwal et al. 2012): add a batch's value counts,
+    and while more than k counters remain subtract the smallest count
+    that kills the excess and drop non-positive counters. Undercount is
+    bounded by n_partition/(k+1); counts are EXACT when a partition
+    holds <= k distinct values (no reduction ever fires).
+
+    Values ride as strings (cast upstream) so one kernel serves every
+    input type; at 100 TB the shuffle after this is O(partitions x k)
+    rows regardless of input size."""
+    import pandas as _pd  # noqa: F401 (worker-side)
+    s = df.select(F.col(col).cast("string").alias("v")).na.drop()
+
+    def run(batches):
+        from supersonic_spark.runtime import pin_worker_threads
+        pin_worker_threads()
+        import numpy as np
+        import pyarrow as pa
+        counters: dict[str, int] = {}
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            vals, counts = np.unique(np.asarray(batch.column(0)),
+                                     return_counts=True)
+            for v, c in zip(vals.tolist(), counts.tolist()):
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > k:
+                cs = sorted(counters.values())
+                d = cs[len(counters) - k - 1]   # kill the excess
+                counters = {v: c - d for v, c in counters.items()
+                            if c - d > 0}
+        if counters:
+            vs, cs2 = zip(*counters.items())
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(vs, pa.string()), pa.array(cs2, pa.int64())],
+                ["v", "cnt"])
+
+    return s.mapInArrow(run, schema="v string, cnt long")
+
+
+def mg_heavy_hitters(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """End-to-end frequent items: merge the per-partition partials
+    (sum by value over O(partitions x k) rows, driver-side reduction
+    back to k counters) and return (value, est_count) ordered by count
+    desc then value. Guarantees: every item with true frequency
+    > n/(k+1) appears; est_count undercounts by at most n/(k+1); exact
+    when the column's distinct count is <= k everywhere."""
+    spark = df.sparkSession
+    merged = (mg_partials(df, col, k)
+              .groupBy("v").agg(F.sum("cnt").alias("cnt")).collect())
+    counters = {r["v"]: r["cnt"] for r in merged}
+    if len(counters) > k:
+        cs = sorted(counters.values())
+        d = cs[len(counters) - k - 1]
+        counters = {v: c - d for v, c in counters.items() if c - d > 0}
+    rows = sorted(counters.items(), key=lambda t: (-t[1], t[0]))
+    return spark.createDataFrame(
+        [(v, int(c)) for v, c in rows], "value string, est_count long")

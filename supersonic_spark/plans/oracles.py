@@ -1720,6 +1720,24 @@ ORACLES["codec_rebucket"] = """
 SELECT event_id, user_id, event_type FROM events
 """
 
+# Misra-Gries with k >> cardinality == exact per-value counts (the
+# approximation guarantee is pytest-gated on skewed data)
+ORACLES["sketch_heavy_hitters"] = """
+SELECT o_orderpriority AS value, CAST(count(*) AS BIGINT) AS est_count
+FROM orders GROUP BY 1
+"""
+
+# deterministic split labels recomputed from the same md5 arithmetic
+ORACLES["split_train_val_test"] = f"""
+SELECT doc_id,
+       CASE WHEN b < 9000 THEN 'train'
+            WHEN b < 9500 THEN 'val' ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         {_H.format(x="'split#' || CAST(doc_id AS VARCHAR)")} % 10000 AS b
+  FROM documents)
+"""
+
 # batch twin of the stream-stream interval join (watermark is a no-op
 # in batch; the range condition is the semantics)
 ORACLES["interval_join"] = """

@@ -77,3 +77,26 @@ def sample_per_group(df: DataFrame, k: int, group_col: str = "source",
     w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
     return (df.withColumn("_rk", F.row_number().over(w))
               .filter(F.col("_rk") <= k).drop("_rk"))
+
+
+def train_val_test_split(df: DataFrame, fractions=(0.9, 0.05, 0.05),
+                         id_col: str = "doc_id",
+                         salt: str = "split") -> DataFrame:
+    """Deterministic train/val/test labeling: the split is a pure
+    function of (salt, id) via the portable hash, so it is reproducible
+    across engines and runs, independent of partitioning, and stable
+    under appends (new docs never move old docs between splits — the
+    property a 100 TB corpus needs, where re-labeling means re-reading
+    everything). Adds a ``split`` column; fractions must sum to 1."""
+    if abs(sum(fractions) - 1.0) > 1e-9 or len(fractions) != 3:
+        raise ValueError(f"fractions must be 3 values summing to 1, "
+                         f"got {fractions}")
+    h = portable_hash64(F.concat_ws("#", F.lit(salt),
+                                    F.col(id_col).cast("string")))
+    b = F.pmod(h, F.lit(10000))
+    t1 = int(round(fractions[0] * 10000))
+    t2 = t1 + int(round(fractions[1] * 10000))
+    return df.withColumn(
+        "split",
+        F.when(b < t1, F.lit("train"))
+         .when(b < t2, F.lit("val")).otherwise(F.lit("test")))

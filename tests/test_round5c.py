@@ -242,3 +242,53 @@ def test_interval_join_rejects_ambiguous_columns(spark):
               .withColumn("ts", F.current_timestamp())
     with _pytest.raises(ValueError):
         interval_join(df, df, "user_id", "user_id", "ts", "ts", 0, 10)
+
+
+# --- Misra-Gries heavy hitters ---------------------------------------------
+
+def test_mg_exact_below_k(spark):
+    from supersonic_spark.functions.sketches import mg_heavy_hitters
+    df = spark.range(9_000).select((F.col("id") % 9).cast("string").alias("v"))
+    got = {r["value"]: r["est_count"]
+           for r in mg_heavy_hitters(df, "v", k=32).collect()}
+    assert got == {str(i): 1000 for i in range(9)}
+
+
+def test_mg_guarantee_on_skewed_data(spark):
+    from supersonic_spark.functions.sketches import mg_heavy_hitters
+    # 30k rows of "hot" + 70k distinct cold values; k=16 forces reductions
+    hot = spark.range(30_000).select(F.lit("hot").alias("v"))
+    cold = spark.range(70_000).select(
+        F.concat(F.lit("c"), F.col("id")).alias("v"))
+    df = hot.unionAll(cold).repartition(8)
+    got = {r["value"]: r["est_count"]
+           for r in mg_heavy_hitters(df, "v", k=16).collect()}
+    n = 100_000
+    # every item with freq > n/(k+1) must surface; undercount <= n/(k+1)
+    assert "hot" in got
+    assert 30_000 - n // 17 <= got["hot"] <= 30_000
+
+
+# --- deterministic train/val/test split ------------------------------------
+
+def test_split_fractions_and_determinism(spark):
+    from supersonic_spark.text.curate import train_val_test_split
+    df = spark.range(20_000).select(F.col("id").alias("doc_id"))
+    out = train_val_test_split(df, (0.8, 0.1, 0.1))
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert abs(counts["train"] / 20_000 - 0.8) < 0.02
+    assert abs(counts["val"] / 20_000 - 0.1) < 0.01
+    assert abs(counts["test"] / 20_000 - 0.1) < 0.01
+    # partition-independent: same labels after a reshuffle
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {r["doc_id"]: r["split"] for r in
+         train_val_test_split(df.repartition(13), (0.8, 0.1, 0.1)).collect()}
+    assert a == b
+
+
+def test_split_validates_fractions(spark):
+    from supersonic_spark.text.curate import train_val_test_split
+    df = spark.range(10).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError):
+        train_val_test_split(df, (0.5, 0.2, 0.2))
