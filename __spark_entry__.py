@@ -2140,6 +2140,24 @@ def q_text_repetition(spark, sf):
     return repetition_metrics(rep)
 
 
+def q_paragraph_dedup(spark, sf):
+    """Paragraph-level exact dedup across the corpus (CCNet/RefinedWeb
+    line dedup; Lee et al. 2022): every doc gets a shared boilerplate
+    first line (5 variants), so the winner election provably removes
+    cross-document repeats; docs are reassembled from surviving lines.
+    One hash-key agg + one join + one bounded collect_list per doc."""
+    from supersonic_spark.text.paradedup import paragraph_dedup
+    d = _t(spark, sf, "documents")
+    corpus = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("(c) corpus boilerplate "),
+                     (F.col("doc_id") % 5).cast("string")),
+            F.col("text")).alias("text"))
+    return paragraph_dedup(corpus)
+
+
 def q_decontaminate(spark, sf):
     """Benchmark decontamination: the 'benchmark suite' is every 97th
     document; training docs sharing any word 4-gram with it are flagged.
@@ -2159,6 +2177,41 @@ def q_sketch_kmv_distinct(spark, sf):
     from supersonic_spark.functions.sketches import kmv_distinct_count_df
     o = _t(spark, sf, "orders")
     return kmv_distinct_count_df(o, "o_custkey", k=16384)
+
+
+def q_curate_corpus_v2(spark, sf):
+    """Curation funnel v2 — the full training-data pipeline as one
+    declarative plan: quality + language gates, Gopher repetition
+    filter (narrow projections on the same corpus scan), benchmark
+    decontamination (join against a broadcast benchmark-gram set),
+    exact-dedup representative keep (the one dedup shuffle),
+    deterministic source mix, and append-stable train/val/test labels.
+    Zero UDFs anywhere; the oracle recomposes every stage's SQL."""
+    from supersonic_spark.text import (exact_dedup, langid_expr,
+                                       quality_score)
+    from supersonic_spark.text.curate import (mix_sources,
+                                              train_val_test_split)
+    from supersonic_spark.text.decontaminate import decontaminate
+    from supersonic_spark.text.repetition import repetition_metrics
+    d = _t(spark, sf, "documents")
+    base = (d.withColumn("q", quality_score(F.col("text")))
+             .withColumn("lg", langid_expr(F.col("text")))
+             .filter((F.col("q") >= 0.5) & (F.col("lg") == "en")))
+    met = repetition_metrics(base, passthrough=("source", "text", "q"))
+    keep = (met.filter(~F.col("repetitive"))
+            .select("doc_id", "source", "text", "q"))
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    clean_ids = (decontaminate(keep, bench, n=4)
+                 .filter(~F.col("contaminated")).select("doc_id"))
+    keep2 = keep.join(clean_ids, "doc_id", "left_semi")
+    reps = exact_dedup(keep2, "text", "doc_id") \
+        .select(F.col("rep_id").alias("doc_id"))
+    kept = keep2.join(reps, "doc_id", "left_semi")
+    weights = {f"src{i}": 0.8 for i in range(20)}
+    mixed = mix_sources(kept, weights, source_col="source")
+    return (train_val_test_split(mixed)
+            .select("doc_id", "source", F.col("q").alias("quality"),
+                    "split"))
 
 
 def q_sketch_heavy_hitters(spark, sf):
@@ -2464,6 +2517,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "sketch_heavy_hitters": q_sketch_heavy_hitters,
         "split_train_val_test": q_split_train_val_test,
+        "curate_corpus_v2": q_curate_corpus_v2,
+        "paragraph_dedup": q_paragraph_dedup,
     }
 
 

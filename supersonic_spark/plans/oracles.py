@@ -1615,12 +1615,13 @@ ORACLES["semantic_dedup"] = _semantic_dedup_oracle()
 # nonzero values on the synthetic corpus). Tie-break for the top 2-gram
 # mirrors Spark's struct-max: max count, then lexicographically greatest
 # gram. The composite flag compares the ROUNDED metrics on both sides.
-ORACLES["text_repetition"] = r"""
-WITH src AS (
-  SELECT doc_id,
-         concat_ws(chr(10), text, substr(text, 1, 80),
-                   substr(text, 1, 80)) AS text
-  FROM documents),
+def _repetition_sql(src: str) -> str:
+    """Repetition-metrics SQL over an arbitrary (doc_id, text) source —
+    parameterized so the capstone funnel reuses the exact same formulas
+    on raw text while the standalone gate uses a derived repetitive
+    text."""
+    return r"""
+WITH src AS (@SRC@),
 base AS (
   SELECT doc_id, text,
     list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
@@ -1677,7 +1678,14 @@ SELECT doc_id, dup_line_frac, dup_line_char_frac, top_2gram_char_frac,
         OR top_2gram_char_frac > 0.20 OR dup_3gram_char_frac > 0.60)
        AS repetitive
 FROM m
-"""
+""".replace("@SRC@", src)
+
+
+ORACLES["text_repetition"] = _repetition_sql("""
+  SELECT doc_id,
+         concat_ws(chr(10), text, substr(text, 1, 80),
+                   substr(text, 1, 80)) AS text
+  FROM documents""")
 
 # benchmark set = every 97th doc; overlap counts DISTINCT shared word
 # 4-grams (both sides shingle over the distinct-gram set, the same
@@ -1736,6 +1744,93 @@ FROM (
   SELECT doc_id,
          {_H.format(x="'split#' || CAST(doc_id AS VARCHAR)")} % 10000 AS b
   FROM documents)
+"""
+
+# capstone funnel v2: recomposes quality + langid + repetition +
+# decontamination + exact-dedup + mix + split from the same fragments
+# the standalone gates use
+ORACLES["curate_corpus_v2"] = f"""
+WITH q AS ({ORACLES["text_quality"].strip().rstrip(";")}),
+lg AS ({ORACLES["text_langid"].strip()}),
+f AS (
+  SELECT d.doc_id, d.source, d.text, q.quality
+  FROM documents d
+  JOIN q ON q.doc_id = d.doc_id
+  JOIN lg ON lg.doc_id = d.doc_id
+  WHERE q.quality >= 0.5 AND lg.lang_guess = 'en'),
+rep AS ({_repetition_sql("SELECT doc_id, text FROM documents")}),
+f2 AS (
+  SELECT f.* FROM f JOIN rep ON rep.doc_id = f.doc_id
+  WHERE NOT rep.repetitive),
+btoks AS (
+  SELECT doc_id,
+         list_filter(
+           CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                ELSE string_split_regex(trim(text), '\\s+') END,
+           x -> length(x) > 0) AS toks
+  FROM documents),
+grams AS (
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(toks) >= 4
+                THEN list_transform(generate_series(1, len(toks)-3),
+                       i -> toks[i] || ' ' || toks[i+1] || ' '
+                            || toks[i+2] || ' ' || toks[i+3])
+                ELSE []::VARCHAR[] END)) AS gram
+  FROM btoks),
+bgrams AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+cont AS (SELECT DISTINCT g.doc_id FROM grams g JOIN bgrams USING (gram)),
+f3 AS (
+  SELECT * FROM f2
+  WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+reps AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM f3 GROUP BY {_H.format(x='text')}),
+mixed AS (
+  SELECT f3.doc_id, f3.source, f3.quality
+  FROM f3 JOIN reps ON reps.doc_id = f3.doc_id
+  WHERE {_H.format(x="f3.source || '#' || f3.doc_id")} % 10000 < 8000)
+SELECT doc_id, source, quality,
+       CASE WHEN b < 9000 THEN 'train'
+            WHEN b < 9500 THEN 'val' ELSE 'test' END AS split
+FROM (
+  SELECT *, {_H.format(x="'split#' || CAST(doc_id AS VARCHAR)")} % 10000 AS b
+  FROM mixed)
+"""
+
+# paragraph-level exact dedup: winner per 60-bit paragraph hash is the
+# minimum composite (doc_id*1e6 + line idx); docs reassembled from
+# surviving lines in order. The derived corpus prepends one of 5 shared
+# boilerplate lines so cross-document repeats provably exist.
+ORACLES["paragraph_dedup"] = f"""
+WITH ex AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(p)),
+                i -> struct_pack(idx := i-1, para := trim(p[i])))) AS u
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS p FROM (
+          SELECT doc_id,
+                 concat_ws(chr(10),
+                           '(c) corpus boilerplate '
+                             || CAST(doc_id % 5 AS VARCHAR),
+                           text) AS text
+          FROM documents))),
+lines AS (
+  SELECT doc_id, u.idx AS idx, u.para AS para
+  FROM ex WHERE length(u.para) > 0),
+pos AS (
+  SELECT doc_id, idx, para, doc_id*1000000 + idx AS pos,
+         {_H.format(x='para')} AS h
+  FROM lines),
+tot AS (SELECT doc_id, count(*) AS n_total FROM lines GROUP BY doc_id),
+win AS (SELECT h, min(pos) AS win_pos FROM pos GROUP BY h),
+kept AS (
+  SELECT p.doc_id, p.idx, p.para
+  FROM pos p JOIN win ON win.h = p.h AND p.pos = win.win_pos),
+re AS (
+  SELECT doc_id, string_agg(para, chr(10) ORDER BY idx) AS text_dedup,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id)
+SELECT re.doc_id, re.text_dedup, re.n_kept, tot.n_total
+FROM re JOIN tot USING (doc_id)
 """
 
 # batch twin of the stream-stream interval join (watermark is a no-op

@@ -167,26 +167,30 @@ def dup_3gram_char_frac(col: Column) -> Column:
 
 
 def repetition_metrics(df: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id",
+                       passthrough: tuple[str, ...] = ()) -> DataFrame:
     """All four metrics plus the composite ``repetitive`` flag
-    (Gopher-style thresholds). Narrow staged projections, no shuffle."""
+    (Gopher-style thresholds). Narrow staged projections, no shuffle.
+    ``passthrough`` columns ride along unchanged so a curation funnel
+    can filter on the flag without a join back to the source scan."""
     c = F.col(text_col)
+    thru = [F.col(x) for x in passthrough]
     # drop empty tokens: Spark's trim strips only spaces and split keeps
     # boundary empties, so whitespace-only text would otherwise produce
     # ""-token phantom grams (mirrored by list_filter in the oracle)
     base = df.select(
-        F.col(id_col),
+        F.col(id_col), *thru,
         F.length(c).alias("_len"),
         _nonempty_lines(c).alias("_lines"),
         F.filter(tokens(c), lambda x: F.length(x) > 0).alias("_toks"))
     staged = base.select(
-        F.col(id_col), F.col("_len"), F.col("_lines"),
+        F.col(id_col), *thru, F.col("_len"), F.col("_lines"),
         _grams_from_tokens(F.col("_toks"), 2).alias("_g2"),
         _grams_from_tokens(F.col("_toks"), 3).alias("_g3"))
     # materialize the top-2gram run struct so extracting .c and .g does
     # not expand the aggregate twice (visible in .explain otherwise)
     staged2 = staged.select(
-        F.col(id_col), F.col("_len"), F.col("_lines"), F.col("_g3"),
+        F.col(id_col), *thru, F.col("_len"), F.col("_lines"), F.col("_g3"),
         F.size(F.col("_g2")).alias("_ng2"),
         _top_run(F.col("_g2")).alias("_best2"))
     top2 = F.when(
@@ -194,7 +198,7 @@ def repetition_metrics(df: DataFrame, text_col: str = "text",
         F.round(F.col("_best2")["c"] * F.length(F.col("_best2")["g"])
                 / F.col("_len"), 4)).otherwise(F.lit(0.0))
     out = staged2.select(
-        F.col(id_col),
+        F.col(id_col), *thru,
         _dup_line_frac_c(F.col("_lines")).alias("dup_line_frac"),
         _dup_line_char_frac_c(F.col("_lines")).alias("dup_line_char_frac"),
         top2.alias("top_2gram_char_frac"),

@@ -292,3 +292,47 @@ def test_split_validates_fractions(spark):
     df = spark.range(10).select(F.col("id").alias("doc_id"))
     with pytest.raises(ValueError):
         train_val_test_split(df, (0.5, 0.2, 0.2))
+
+
+# --- paragraph-level exact dedup --------------------------------------------
+
+def test_paragraph_dedup_keeps_first_occurrence(spark):
+    from supersonic_spark.text.paradedup import paragraph_dedup
+    df = spark.createDataFrame(
+        [(1, "shared line\nunique one"),
+         (2, "shared line\nunique two\nshared line"),
+         (3, "unique three")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in paragraph_dedup(df).collect()}
+    # doc 1 is the global first occurrence of "shared line" -> intact
+    assert got[1]["text_dedup"] == "shared line\nunique one"
+    assert (got[1]["n_kept"], got[1]["n_total"]) == (2, 2)
+    # doc 2 loses BOTH copies (cross-doc and its own repeat)
+    assert got[2]["text_dedup"] == "unique two"
+    assert (got[2]["n_kept"], got[2]["n_total"]) == (1, 3)
+    assert got[3]["text_dedup"] == "unique three"
+
+
+def test_paragraph_dedup_drops_fully_duplicate_docs(spark):
+    from supersonic_spark.text.paradedup import paragraph_dedup
+    df = spark.createDataFrame(
+        [(1, "a\nb"), (2, "a\nb"), (3, "  \n\nb")],
+        ["doc_id", "text"])
+    out = paragraph_dedup(df).collect()
+    ids = {r["doc_id"] for r in out}
+    # docs 2 and 3 consist entirely of losing paragraphs -> absent
+    assert ids == {1}
+    # whitespace-only lines never count toward totals (doc 3 had only "b")
+    row = next(r for r in out if r["doc_id"] == 1)
+    assert (row["n_kept"], row["n_total"]) == (2, 2)
+
+
+def test_paragraph_dedup_order_preserved(spark):
+    from supersonic_spark.text.paradedup import paragraph_dedup
+    # surviving lines must reassemble in original positional order even
+    # when the duplicate sits in the middle
+    df = spark.createDataFrame(
+        [(1, "dup"), (2, "z9\ndup\na1")], ["doc_id", "text"])
+    got = {r["doc_id"]: r["text_dedup"]
+           for r in paragraph_dedup(df).collect()}
+    assert got[2] == "z9\na1"
