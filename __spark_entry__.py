@@ -2214,6 +2214,64 @@ def q_curate_corpus_v2(spark, sf):
                     "split"))
 
 
+def q_knn_join_ivf(spark, sf):
+    """k-NN self-join blocked by IVF cell: each embedding's top-5
+    in-cell cosine neighbors via one equi join + one per-id window.
+    Pinned toy centroids so the oracle can argmin the same cells."""
+    from supersonic_spark.ann import knn_join_ivf, toy_centroids
+    e = _t(spark, sf, "embeddings")
+    return knn_join_ivf(e, toy_centroids(4, 64), k=5)
+
+
+def q_window_moving_avg(spark, sf):
+    """Event-time sliding aggregate: per-user 1-hour trailing sum/count
+    over the RANGE frame (value-based, not row-based). Exact integer
+    cents keep the sum portable; the avg derives from the exact ints by
+    one division so both engines round the same double."""
+    from pyspark.sql import Window
+    e = _t(spark, sf, "events").withColumn(
+        "value_cents", _cents(F.col("value")))
+    # ts is TIMESTAMP_NTZ; cast through TIMESTAMP (session tz pinned to
+    # UTC) so unix_micros resolves — same instant DuckDB's epoch_us sees
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+         .rangeBetween(-3_600_000_000, 0))
+    out = e.select(
+        "event_id", "user_id",
+        F.sum("value_cents").over(w).alias("sum_1h_cents"),
+        F.count("*").over(w).alias("n_1h"))
+    return out.withColumn(
+        "avg_1h", F.round(F.col("sum_1h_cents")
+                          / (F.col("n_1h") * 100.0), 4))
+
+
+def q_tumbling_window_agg(spark, sf):
+    """Tumbling event-time windows (F.window, 1 day) — the batch twin of
+    the streaming windowed agg; epoch-aligned so date_trunc mirrors it."""
+    e = _t(spark, sf, "events").withColumn(
+        "value_cents", _cents(F.col("value")))
+    return (e.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum("value_cents").alias("sum_cents"))
+            .select(F.col("w.start").alias("w_start"), "event_type",
+                    "n", "sum_cents"))
+
+
+def q_pivot_agg(spark, sf):
+    """Pivot (long->wide conditional aggregation): order totals by
+    priority x status. Explicit pivot values keep the plan one pass
+    (no distinct-scan) — the 100 TB form."""
+    o = _t(spark, sf, "orders").withColumn(
+        "cents", _cents(F.col("o_totalprice")))
+    return (o.groupBy("o_orderpriority")
+            .pivot("o_orderstatus", ["F", "O", "P"])
+            .agg(F.sum("cents"))
+            .select(F.col("o_orderpriority"),
+                    F.col("F").alias("f_cents"),
+                    F.col("O").alias("o_cents"),
+                    F.col("P").alias("p_cents")))
+
+
 def q_sketch_heavy_hitters(spark, sf):
     """Misra-Gries frequent items over o_orderpriority with k far above
     the column's cardinality — no reduction ever fires, so the sketch
@@ -2519,6 +2577,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_train_val_test": q_split_train_val_test,
         "curate_corpus_v2": q_curate_corpus_v2,
         "paragraph_dedup": q_paragraph_dedup,
+        "knn_join_ivf": q_knn_join_ivf,
+        "window_moving_avg": q_window_moving_avg,
+        "tumbling_window_agg": q_tumbling_window_agg,
+        "pivot_agg": q_pivot_agg,
     }
 
 

@@ -561,6 +561,42 @@ def ivf_topk(df: DataFrame, query: list[float], k: int,
     return cosine_topk(cand, query, k, id_col, vec_col)
 
 
+def knn_join_ivf(df: DataFrame, centroids: list[list[float]], k: int,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Blocked k-NN self-join: every vector's top-k cosine neighbors
+    searched WITHIN its IVF cell (the standard ANN kNN-join blocking —
+    each quadratic is bounded per cell, like semantic_dedup). Returns
+    (id, nbr_id, cos_sim, rk) with rk 1..k; vectors whose cell has
+    fewer than k+1 members return fewer rows, and cross-cell true
+    neighbors are missed by construction (raise the centroid count to
+    shrink cells, or assign to n>1 nearest cells for higher recall).
+
+    Scale: one equi self-join on ivf_cell (AQE skew-splittable) + one
+    per-query-id window for the top-k cut — no global sort, no cross
+    join. Cosine is rounded to 4 decimals BEFORE ranking so the
+    (score desc, nbr_id asc) order is engine-portable.
+    """
+    assigned = ivf_assign_arrow(df, centroids, id_col, vec_col)
+    # consumed by both join sides — materialize once (see
+    # minhash_lsh_pairs for the localCheckpoint-vs-persist rationale)
+    assigned = assigned.localCheckpoint(eager=True)
+    a = assigned.select(F.col(id_col).alias("_qid"),
+                        F.col(vec_col).alias("_qv"), "ivf_cell")
+    b = assigned.select(F.col(id_col).alias("nbr_id"),
+                        F.col(vec_col).alias("_nv"), "ivf_cell")
+    pairs = a.join(b, "ivf_cell").filter(F.col("_qid") != F.col("nbr_id"))
+    sim = F.round(cosine(F.col("_qv").cast("array<double>"),
+                         F.col("_nv").cast("array<double>")), 4)
+    from pyspark.sql import Window
+    w = (Window.partitionBy("_qid")
+         .orderBy(F.col("cos_sim").desc(), F.col("nbr_id").asc()))
+    return (pairs.withColumn("cos_sim", sim)
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select(F.col("_qid").alias(id_col), "nbr_id", "cos_sim", "rk"))
+
+
 def toy_centroids(k: int, dim: int) -> list[list[float]]:
     """Pinned deterministic coarse centroids in [-1, 1) from md5 — for
     oracle-checkable gates where DuckDB must embed the exact same model

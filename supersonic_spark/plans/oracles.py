@@ -1797,6 +1797,78 @@ FROM (
   FROM mixed)
 """
 
+def _knn_join_oracle(k_cells: int = 4, dim: int = 64, k: int = 5) -> str:
+    """knn_join_ivf twin: literal-centroid argmin cells (same expansion
+    as _semantic_dedup_oracle), in-cell self-join, per-id top-k over
+    (round(cos,4) DESC, nbr_id)."""
+    from supersonic_spark.ann import toy_centroids
+    import numpy as np
+    c = np.asarray(toy_centroids(k_cells, dim), dtype=np.float64)
+    c_sq = (c * c).sum(axis=1)
+
+    def dist(i: int) -> str:
+        terms = [repr(float(c_sq[i]))]
+        for j in range(dim):
+            terms.append(f"e[{j + 1}] * {repr(-2.0 * float(c[i][j]))}")
+        return " + ".join(terms)
+
+    dcols = ",\n       ".join(f"{dist(i)} AS d{i}" for i in range(k_cells))
+    branches = []
+    for i in range(k_cells - 1):
+        cond = " AND ".join(f"d{i} <= d{j}" for j in range(i + 1, k_cells))
+        branches.append(f"WHEN {cond} THEN {i}")
+    argmin = "CASE " + " ".join(branches) + f" ELSE {k_cells - 1} END"
+
+    return f"""
+WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+d AS (SELECT vec_id, e, {dcols} FROM b),
+cells AS (SELECT vec_id, e, {argmin} AS cell FROM d),
+pairs AS (
+  SELECT a.vec_id AS vec_id, nb.vec_id AS nbr_id,
+         round(list_cosine_similarity(a.e, nb.e), 4) AS cos_sim
+  FROM cells a JOIN cells nb ON a.cell = nb.cell
+                            AND a.vec_id <> nb.vec_id)
+SELECT vec_id, nbr_id, cos_sim, CAST(rk AS INTEGER) AS rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cos_sim DESC, nbr_id) AS rk
+  FROM pairs)
+WHERE rk <= {k}
+"""
+
+
+ORACLES["knn_join_ivf"] = _knn_join_oracle()
+
+ORACLES["window_moving_avg"] = """
+SELECT event_id, user_id, sum_1h_cents, n_1h,
+       round(sum_1h_cents / (n_1h * 100.0), 4) AS avg_1h
+FROM (
+  SELECT event_id, user_id,
+         CAST(SUM(CAST(round(value*100, 0) AS BIGINT)) OVER w AS BIGINT)
+           AS sum_1h_cents,
+         COUNT(*) OVER w AS n_1h
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))
+"""
+
+ORACLES["tumbling_window_agg"] = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start, event_type,
+       count(*) AS n,
+       CAST(SUM(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY 1, 2
+"""
+
+ORACLES["pivot_agg"] = """
+SELECT o_orderpriority,
+       CAST(SUM(CAST(round(o_totalprice*100, 0) AS BIGINT))
+            FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS f_cents,
+       CAST(SUM(CAST(round(o_totalprice*100, 0) AS BIGINT))
+            FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS o_cents,
+       CAST(SUM(CAST(round(o_totalprice*100, 0) AS BIGINT))
+            FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS p_cents
+FROM orders GROUP BY o_orderpriority
+"""
+
 # paragraph-level exact dedup: winner per 60-bit paragraph hash is the
 # minimum composite (doc_id*1e6 + line idx); docs reassembled from
 # surviving lines in order. The derived corpus prepends one of 5 shared

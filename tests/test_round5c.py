@@ -336,3 +336,35 @@ def test_paragraph_dedup_order_preserved(spark):
     got = {r["doc_id"]: r["text_dedup"]
            for r in paragraph_dedup(df).collect()}
     assert got[2] == "z9\na1"
+
+
+# --- blocked k-NN self-join --------------------------------------------------
+
+def test_knn_join_ivf_blocks_and_ranks(spark):
+    from supersonic_spark.ann import knn_join_ivf
+    # two well-separated cells on the x axis; dim-2 vectors
+    cents = [[1.0, 0.0], [-1.0, 0.0]]
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.9, -0.2]),   # cell 0
+        (3, [-1.0, 0.0]), (4, [-0.9, 0.05]),                  # cell 1
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
+    out = knn_join_ivf(df, cents, k=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["vec_id"], []).append(r)
+    # no cross-cell neighbor pairs ever appear
+    cell = {0: 0, 1: 0, 2: 0, 3: 1, 4: 1}
+    for r in out:
+        assert cell[r["vec_id"]] == cell[r["nbr_id"]]
+        assert r["vec_id"] != r["nbr_id"]
+    # cell 1 has only one possible neighbor each
+    assert [x["nbr_id"] for x in by_q[3]] == [4]
+    assert [x["nbr_id"] for x in by_q[4]] == [3]
+    # vec 0's nearest in-cell neighbor by cosine is 1 (then 2), ranked
+    got0 = sorted(by_q[0], key=lambda r: r["rk"])
+    assert [x["nbr_id"] for x in got0] == [1, 2]
+    assert got0[0]["cos_sim"] > got0[1]["cos_sim"]
+    # k bounds the neighbor count
+    assert all(len(v) <= 2 for v in by_q.values())
