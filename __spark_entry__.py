@@ -2272,6 +2272,17 @@ def q_pivot_agg(spark, sf):
                     F.col("P").alias("p_cents")))
 
 
+def q_sketch_dd_quantiles(spark, sf):
+    """DDSketch relative-error quantiles (deterministic log-bucket
+    sketch, VLDB'19): p50/p90/p99 of order totals per priority. The
+    shuffle carries bucket counts (<= ~1.1k/group), never rows; the
+    oracle replays the identical bucket arithmetic in SQL."""
+    from supersonic_spark.functions.sketches import dd_quantiles
+    o = _t(spark, sf, "orders")
+    return dd_quantiles(o, "o_totalprice", (0.5, 0.9, 0.99),
+                        gamma=1.02, group_cols=("o_orderpriority",))
+
+
 def q_sketch_heavy_hitters(spark, sf):
     """Misra-Gries frequent items over o_orderpriority with k far above
     the column's cardinality — no reduction ever fires, so the sketch
@@ -2411,13 +2422,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the driver's correctness gate samples
     # the FIRST 50 entries. Rotation history: rounds 1-3 proved the
-    # relational set (twice); round 4 proved the dedup/ANN/codec/TPC-H/
-    # curation set. Round 5 rotates forward (a) the 11 round-4 additions
-    # that were replica-only, (b) codec_selection_report (now carrying a
-    # pinned oracle), (c) the 6 new round-5 queries, and backfills the
-    # remaining 32 slots with the least-recently-driver-proven relational
-    # entries (last proven r1-r3). Local replica (tools/check_oracles.py)
-    # still verifies every entry.
+    # relational set (3x); round 4 proved the dedup/ANN/codec/TPC-H/
+    # curation set. Round 5's prefix is exactly the never-driver-proven
+    # set: (a) the 11 round-4 additions, (b) codec_selection_report (now
+    # carrying a pinned oracle), (c)+(d) all round-5 additions except 4
+    # deferred family-variants (noted at the marker). Local replica
+    # (tools/check_oracles.py) still verifies every entry.
     return {
         # --- (a) round-4 additions: driver-verify this round ---
         "expr_datetime3": q_expr_datetime3,
@@ -2449,7 +2459,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q16_supplier_relationship": q_tpch_q16_supplier_relationship,
         "tpch_q21_waiting_suppliers": q_tpch_q21_waiting_suppliers,
         "tpch_q22_global_sales": q_tpch_q22_global_sales,
-        # --- backfill: least-recently-driver-proven (r1-r3) ---
+        # --- (d) never-driver-proven round-5 set (replica-green; the
+        #     relational backfill below the marker is driver-proven 3x) ---
+        "lsh_topk_indexed": q_lsh_topk_indexed,
+        "tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,
+        "tpch_q20_excess_availability": q_tpch_q20_excess_availability,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
+        "codec_delete": q_codec_delete,
+        "pq_assign": q_pq_assign,
+        "pq_adc_topk": q_pq_adc_topk,
+        "ivfpq_topk_indexed": q_ivfpq_topk_indexed,
+        "codec_cdc": q_codec_cdc,
+        "semantic_dedup": q_semantic_dedup,
+        "text_repetition": q_text_repetition,
+        "decontaminate": q_decontaminate,
+        "sketch_kmv_distinct": q_sketch_kmv_distinct,
+        "codec_rebucket": q_codec_rebucket,
+        "interval_join": q_interval_join,
+        "sketch_heavy_hitters": q_sketch_heavy_hitters,
+        "split_train_val_test": q_split_train_val_test,
+        "curate_corpus_v2": q_curate_corpus_v2,
+        "paragraph_dedup": q_paragraph_dedup,
+        "knn_join_ivf": q_knn_join_ivf,
+        "window_moving_avg": q_window_moving_avg,
+        "tumbling_window_agg": q_tumbling_window_agg,
+        "pivot_agg": q_pivot_agg,
+        # ---------------- end of 50-entry driver prefix ----------------
+        # (4 never-proven variants deferred to r6 for lack of slots:
+        #  pq_topk_refined, multimodal_resize, tpch_q11_important_stock,
+        #  codec_snapshot — their operator families are covered above)
         "scan_project": q_scan_project,
         "compute_expr": q_compute_expr,
         "filter_null_semantics": q_filter_null_semantics,
@@ -2473,7 +2511,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_agg_with_limit": q_group_agg_with_limit,
         "multi_distinct_rewrite": q_multi_distinct_rewrite,
         "avg_composed": q_avg_composed,
-        # ---------------- end of 50-entry driver prefix ----------------
         "sort_topk": q_sort_topk,
         "sort_case_insensitive": q_sort_case_insensitive,
         "sort_nulls_first": q_sort_nulls_first,
@@ -2500,11 +2537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "range_join_bucketed": q_range_join_bucketed,
-        "lsh_topk_indexed": q_lsh_topk_indexed,
-        "tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,
         "tpch_q11_important_stock": q_tpch_q11_important_stock,
-        "tpch_q20_excess_availability": q_tpch_q20_excess_availability,
-        "multimodal_frame_sample": q_multimodal_frame_sample,
         "multimodal_resize": q_multimodal_resize,
         "cube_agg": q_cube_agg,
         # --- driver-proven in round 4 ---
@@ -2557,30 +2590,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
         "tpch_q18_large_orders": q_tpch_q18_large_orders,
         "window_lag_lead": q_window_lag_lead,
-        # --- round-5b additions (replica-proven this round; rotate into
-        #     the driver prefix next round) ---
-        "codec_delete": q_codec_delete,
+        # --- round-5 additions deferred from the prefix (slots full) ---
         "codec_snapshot": q_codec_snapshot,
-        "pq_assign": q_pq_assign,
-        "pq_adc_topk": q_pq_adc_topk,
         "pq_topk_refined": q_pq_topk_refined,
-        "ivfpq_topk_indexed": q_ivfpq_topk_indexed,
-        "codec_cdc": q_codec_cdc,
-        "semantic_dedup": q_semantic_dedup,
-        # --- round-5c additions ---
-        "text_repetition": q_text_repetition,
-        "decontaminate": q_decontaminate,
-        "sketch_kmv_distinct": q_sketch_kmv_distinct,
-        "codec_rebucket": q_codec_rebucket,
-        "interval_join": q_interval_join,
-        "sketch_heavy_hitters": q_sketch_heavy_hitters,
-        "split_train_val_test": q_split_train_val_test,
-        "curate_corpus_v2": q_curate_corpus_v2,
-        "paragraph_dedup": q_paragraph_dedup,
-        "knn_join_ivf": q_knn_join_ivf,
-        "window_moving_avg": q_window_moving_avg,
-        "tumbling_window_agg": q_tumbling_window_agg,
-        "pivot_agg": q_pivot_agg,
+        "sketch_dd_quantiles": q_sketch_dd_quantiles,
     }
 
 

@@ -169,3 +169,65 @@ def mg_heavy_hitters(df: DataFrame, col: str, k: int = 256) -> DataFrame:
     rows = sorted(counters.items(), key=lambda t: (-t[1], t[0]))
     return spark.createDataFrame(
         [(v, int(c)) for v, c in rows], "value string, est_count long")
+
+
+# --------------------------------------------------------------------------
+# DDSketch-style relative-error quantiles (Masson, Rim & Lee, VLDB 2019)
+# --------------------------------------------------------------------------
+
+def dd_bucket(col: Column, gamma: float) -> Column:
+    """DDSketch bucket index for a POSITIVE value: ceil(ln(x)/ln(gamma)).
+    The divisor is a pinned double literal so any engine computing this
+    expression lands in the identical bucket."""
+    import math
+    return (F.ceil(F.log(col) / F.lit(math.log(gamma)))).cast("int")
+
+
+def dd_sketch(df: DataFrame, col: str, gamma: float = 1.02,
+              group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """The mergeable sketch itself: (group..., bkt, cnt) bucket counts.
+
+    Why this scales: the groupBy is map-side combined, so the shuffle
+    carries O(partitions x buckets) rows — the bucket count is bounded by
+    ln(max/min)/ln(gamma) (~1.1k buckets for a 1e9 dynamic range at
+    gamma=1.02) regardless of input rows. Sketches merge by bucket-wise
+    count addition (another groupBy.sum), and every quantile estimate is
+    within relative error (gamma-1)/(gamma+1) of the true value.
+    Deterministic (no randomness), so exactly reproducible in SQL."""
+    b = dd_bucket(F.col(col), gamma)
+    return (df.groupBy(*group_cols, b.alias("bkt"))
+              .agg(F.count("*").alias("cnt")))
+
+
+def dd_quantiles(df: DataFrame, col: str, qs: tuple[float, ...],
+                 gamma: float = 1.02,
+                 group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Quantile estimates from the DDSketch: per group, the value
+    2*gamma^j/(gamma+1) of the bucket j holding the rank-floor(q*(n-1))+1
+    element. Output columns p<q*100> (rounded to 4 decimals).
+
+    The rank walk runs over BUCKETS, not rows: a per-group window cumsum
+    of at most ~1k bucket rows, then one aggregate — no global sort of
+    the data, no per-row window. Requires a positive-valued column."""
+    from pyspark.sql import Window
+    sk = dd_sketch(df, col, gamma, group_cols)
+    pg = (Window.partitionBy(*group_cols) if group_cols
+          else Window.partitionBy(F.lit(1)))
+    cum = (sk.withColumn("cum", F.sum("cnt").over(pg.orderBy("bkt")))
+             .withColumn("n", F.sum("cnt").over(pg)))
+
+    def label(q: float) -> str:
+        return "p" + f"{q * 100:g}".replace(".", "_")
+
+    aggs = []
+    for q in qs:
+        r = F.floor(F.lit(float(q)) * (F.col("n") - 1)) + 1
+        aggs.append(F.min(F.when(F.col("cum") >= r, F.col("bkt")))
+                    .alias("_b_" + label(q)))
+    est = cum.groupBy(*group_cols).agg(*aggs)
+    for q in qs:
+        est = est.withColumn(
+            label(q),
+            F.round(F.lit(2.0) * F.pow(F.lit(float(gamma)), F.col("_b_" + label(q)))
+                    / F.lit(float(gamma) + 1.0), 4)).drop("_b_" + label(q))
+    return est

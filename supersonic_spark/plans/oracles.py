@@ -1858,6 +1858,39 @@ SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start, event_type,
 FROM events GROUP BY 1, 2
 """
 
+def _dd_quantiles_oracle(gamma: float = 1.02,
+                         qs: tuple[float, ...] = (0.5, 0.9, 0.99)) -> str:
+    """DDSketch twin: identical pinned ln(gamma) divisor, bucket cumsum,
+    rank floor(q*(n-1))+1, estimate 2*gamma^bkt/(gamma+1)."""
+    import math
+    lng = repr(math.log(gamma))
+
+    def label(q: float) -> str:
+        return "p" + f"{q * 100:g}".replace(".", "_")
+
+    cols = ",\n       ".join(
+        f"round(2.0 * pow({gamma!r}, MIN(CASE WHEN cum >= "
+        f"floor({q!r} * (n - 1)) + 1 THEN bkt END)) / {gamma + 1.0!r}, 4)"
+        f" AS {label(q)}" for q in qs)
+    return f"""
+WITH sk AS (
+  SELECT o_orderpriority,
+         CAST(ceil(ln(o_totalprice) / {lng}) AS INTEGER) AS bkt,
+         count(*) AS cnt
+  FROM orders GROUP BY 1, 2),
+c AS (
+  SELECT o_orderpriority, bkt,
+         SUM(cnt) OVER (PARTITION BY o_orderpriority ORDER BY bkt) AS cum,
+         SUM(cnt) OVER (PARTITION BY o_orderpriority) AS n
+  FROM sk)
+SELECT o_orderpriority,
+       {cols}
+FROM c GROUP BY o_orderpriority
+"""
+
+
+ORACLES["sketch_dd_quantiles"] = _dd_quantiles_oracle()
+
 ORACLES["pivot_agg"] = """
 SELECT o_orderpriority,
        CAST(SUM(CAST(round(o_totalprice*100, 0) AS BIGINT))

@@ -368,3 +368,37 @@ def test_knn_join_ivf_blocks_and_ranks(spark):
     assert got0[0]["cos_sim"] > got0[1]["cos_sim"]
     # k bounds the neighbor count
     assert all(len(v) <= 2 for v in by_q.values())
+
+
+# --- DDSketch quantiles -------------------------------------------------------
+
+def test_dd_quantiles_relative_error_bound(spark):
+    from supersonic_spark.functions.sketches import dd_quantiles
+    import math
+    gamma = 1.02
+    # log-uniform-ish positive values with a long tail, exact answers known
+    vals = [math.exp(((i * 2654435761) % 10_000) / 1000.0) for i in range(5000)]
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    got = dd_quantiles(df, "x", (0.5, 0.99), gamma=gamma).collect()[0]
+    bound = (gamma - 1) / (gamma + 1)
+    s = sorted(vals)
+    for q, col in ((0.5, "p50"), (0.99, "p99")):
+        exact = s[math.floor(q * (len(s) - 1))]
+        assert abs(got[col] - exact) / exact <= bound * 1.001, (q, got[col], exact)
+
+
+def test_dd_sketch_merges_by_bucket_sum(spark):
+    from supersonic_spark.functions.sketches import dd_sketch, dd_quantiles
+    import pyspark.sql.functions as F2
+    a = spark.range(1, 3001).select((F2.col("id") * 1.5).alias("x"))
+    b = spark.range(3001, 6001).select((F2.col("id") * 1.5).alias("x"))
+    # sketch each half, merge by bucket-wise count addition
+    merged = (dd_sketch(a, "x").unionAll(dd_sketch(b, "x"))
+              .groupBy("bkt").agg(F2.sum("cnt").alias("cnt")))
+    whole = dd_sketch(a.unionAll(b), "x")
+    m = {r["bkt"]: r["cnt"] for r in merged.collect()}
+    w = {r["bkt"]: r["cnt"] for r in whole.collect()}
+    assert m == w
+    # and the union's quantile is computable from the merged buckets
+    direct = dd_quantiles(a.unionAll(b), "x", (0.9,)).collect()[0]["p90"]
+    assert direct is not None
