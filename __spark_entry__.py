@@ -2272,6 +2272,34 @@ def q_pivot_agg(spark, sf):
                     F.col("P").alias("p_cents")))
 
 
+def q_funnel_conversion(spark, sf):
+    """Ordered funnel signup -> view -> purchase: per-step distinct
+    users with a strictly increasing ts chain. k bounded user-keyed
+    shuffles, no global event sort."""
+    from supersonic_spark.operators.analytics import funnel
+    return funnel(_t(spark, sf, "events"),
+                  ["signup", "view", "purchase"])
+
+
+def q_cohort_retention(spark, sf):
+    """Weekly cohort retention matrix over the events table: cohort =
+    Monday-truncated week of first event; n distinct active users per
+    (cohort, week offset)."""
+    from supersonic_spark.operators.analytics import cohort_retention
+    return cohort_retention(_t(spark, sf, "events"))
+
+
+def q_weighted_sample(spark, sf):
+    """Deterministic weighted sampling without replacement (A-ES,
+    Efraimidis-Spirakis): top-20 docs per source by u^(1/w) with
+    hash-derived u — inclusion odds proportional to doc length,
+    reproducible across engines/partitionings."""
+    from supersonic_spark.text.curate import weighted_sample
+    d = _t(spark, sf, "documents").select(
+        "doc_id", "source", (F.col("n_chars") + 1).alias("w"))
+    return weighted_sample(d, "w", 20, group_col="source")
+
+
 def q_sketch_dd_quantiles(spark, sf):
     """DDSketch relative-error quantiles (deterministic log-bucket
     sketch, VLDB'19): p50/p90/p99 of order totals per priority. The
@@ -2594,6 +2622,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_snapshot": q_codec_snapshot,
         "pq_topk_refined": q_pq_topk_refined,
         "sketch_dd_quantiles": q_sketch_dd_quantiles,
+        "funnel_conversion": q_funnel_conversion,
+        "cohort_retention": q_cohort_retention,
+        "weighted_sample": q_weighted_sample,
     }
 
 

@@ -1891,6 +1891,53 @@ FROM c GROUP BY o_orderpriority
 
 ORACLES["sketch_dd_quantiles"] = _dd_quantiles_oracle()
 
+ORACLES["funnel_conversion"] = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY 1),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY 1),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1)
+SELECT CAST(1 AS INTEGER) AS step, 'signup' AS step_name,
+       count(*) AS n_users FROM s1
+UNION ALL
+SELECT CAST(2 AS INTEGER), 'view', count(*) FROM s2
+UNION ALL
+SELECT CAST(3 AS INTEGER), 'purchase', count(*) FROM s3
+"""
+
+ORACLES["cohort_retention"] = """
+WITH wk AS (
+  SELECT user_id, date_trunc('week', ts)::DATE AS w FROM events),
+first AS (SELECT user_id, min(w) AS cohort_week FROM wk GROUP BY 1),
+act AS (SELECT DISTINCT user_id, w AS active_week FROM wk)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, active_week) / 7 AS INTEGER)
+         AS offset_weeks,
+       count(DISTINCT user_id) AS n_users
+FROM act JOIN first USING (user_id)
+GROUP BY 1, 2
+"""
+
+ORACLES["weighted_sample"] = f"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars + 1 AS w,
+         pow(({_H.format(x="'ws#' || CAST(doc_id AS VARCHAR)")} + 0.5)
+               / 1152921504606846976.0,
+             1.0 / (n_chars + 1)) AS k
+  FROM documents)
+SELECT doc_id, source, w, CAST(rn AS INTEGER) AS rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY k DESC, doc_id) AS rn
+  FROM keyed)
+WHERE rn <= 20
+"""
+
 ORACLES["pivot_agg"] = """
 SELECT o_orderpriority,
        CAST(SUM(CAST(round(o_totalprice*100, 0) AS BIGINT))

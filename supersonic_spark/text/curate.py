@@ -100,3 +100,35 @@ def train_val_test_split(df: DataFrame, fractions=(0.9, 0.05, 0.05),
         "split",
         F.when(b < t1, F.lit("train"))
          .when(b < t2, F.lit("val")).otherwise(F.lit("test")))
+
+
+_WS_DENOM = float(1 << 60)
+
+
+def weighted_sample(df: DataFrame, weight_col: str, k: int,
+                    id_col: str = "doc_id",
+                    group_col: str | None = None) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis &
+    Spirakis 2006, A-ES): each row gets key u^(1/w) with u a hash-derived
+    uniform in (0,1); the k largest keys per group are the sample —
+    inclusion probability proportional to weight, reproducible across
+    engines and partitionings because u comes from the portable 60-bit
+    hash of the id, not an RNG.
+
+    Scale: one window top-k per group (rank over key), no global sort;
+    with group_col=None the single partition holds only the candidate
+    rows Spark's TakeOrderedAndProject-style cut retains per task.
+    Weights must be positive.
+    """
+    from pyspark.sql import Window
+    u = ((portable_hash64(F.concat(F.lit("ws#"),
+                                   F.col(id_col).cast("string"))) + 0.5)
+         / F.lit(_WS_DENOM))
+    key = F.pow(u, F.lit(1.0) / F.col(weight_col))
+    w = (Window.partitionBy(group_col) if group_col
+         else Window.partitionBy(F.lit(1)))
+    w = w.orderBy(F.col("_ws_key").desc(), F.col(id_col))
+    return (df.withColumn("_ws_key", key)
+              .withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= k)
+              .drop("_ws_key"))

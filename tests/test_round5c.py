@@ -402,3 +402,53 @@ def test_dd_sketch_merges_by_bucket_sum(spark):
     # and the union's quantile is computable from the merged buckets
     direct = dd_quantiles(a.unionAll(b), "x", (0.9,)).collect()[0]["p90"]
     assert direct is not None
+
+
+# --- funnel / cohort / weighted sample ---------------------------------------
+
+def test_funnel_requires_strict_order(spark):
+    from supersonic_spark.operators.analytics import funnel
+    import datetime as dt
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        # user 1: full ordered chain
+        (1, t(0), "signup"), (1, t(1), "view"), (1, t(2), "purchase"),
+        # user 2: purchase BEFORE view -> reaches step 2 only
+        (2, t(0), "signup"), (2, t(2), "view"), (2, t(1), "purchase"),
+        # user 3: no signup -> reaches nothing
+        (3, t(0), "view"), (3, t(1), "purchase"),
+        # user 4: signup only
+        (4, t(5), "signup"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    got = {r["step"]: r["n_users"]
+           for r in funnel(df, ["signup", "view", "purchase"]).collect()}
+    assert got == {1: 3, 2: 2, 3: 1}
+
+
+def test_funnel_uses_earliest_chain(spark):
+    from supersonic_spark.operators.analytics import funnel
+    import datetime as dt
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    # view at minute 1 AND 10; purchase at minute 5: only the earliest
+    # view admits the purchase — greedy-earliest must find it
+    rows = [(1, t(0), "signup"), (1, t(1), "view"), (1, t(10), "view"),
+            (1, t(5), "purchase")]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    got = {r["step"]: r["n_users"]
+           for r in funnel(df, ["signup", "view", "purchase"]).collect()}
+    assert got[3] == 1
+
+
+def test_weighted_sample_proportional_and_deterministic(spark):
+    from supersonic_spark.text.curate import weighted_sample
+    # 500 heavy (w=50) + 500 light (w=1): heavy ids must dominate the
+    # sample, and the draw must be partition-count independent
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 500, 50.0).otherwise(1.0).alias("w"))
+    got = weighted_sample(df, "w", 100).collect()
+    heavy = sum(1 for r in got if r["doc_id"] < 500)
+    assert heavy > 80           # expectation ~98; far above the 50 of uniform
+    again = weighted_sample(df.repartition(17), "w", 100).collect()
+    assert {r["doc_id"] for r in got} == {r["doc_id"] for r in again}
