@@ -2272,6 +2272,29 @@ def q_pivot_agg(spark, sf):
                     F.col("P").alias("p_cents")))
 
 
+def q_incremental_rollup(spark, sf):
+    """Incremental view maintenance: the priority rollup maintained by
+    merging yesterday's aggregate with the new-arrivals aggregate (two
+    O(groups) partial states; only the delta ever re-shuffles). The
+    oracle computes the same rollup from scratch — IVM's exact claim."""
+    from supersonic_spark.operators.ivm import merge_rollup
+    o = _t(spark, sf, "orders").withColumn(
+        "cents", _cents(F.col("o_totalprice")))
+
+    def rollup(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.sum("cents").alias("sum_cents"),
+            F.count("*").alias("n"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"))
+
+    base = rollup(o.filter(F.col("o_orderkey") % 10 != 0))
+    delta = rollup(o.filter(F.col("o_orderkey") % 10 == 0))
+    return merge_rollup(base, delta, ["o_orderpriority"],
+                        sums=("sum_cents",), counts=("n",),
+                        mins=("min_cents",), maxs=("max_cents",))
+
+
 def q_funnel_conversion(spark, sf):
     """Ordered funnel signup -> view -> purchase: per-step distinct
     users with a strictly increasing ts chain. k bounded user-keyed
@@ -2625,6 +2648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": q_funnel_conversion,
         "cohort_retention": q_cohort_retention,
         "weighted_sample": q_weighted_sample,
+        "incremental_rollup": q_incremental_rollup,
     }
 
 

@@ -1891,6 +1891,18 @@ FROM c GROUP BY o_orderpriority
 
 ORACLES["sketch_dd_quantiles"] = _dd_quantiles_oracle()
 
+# IVM gate: the oracle is the FROM-SCRATCH rollup — the merge of the
+# two partial states must equal it exactly
+ORACLES["incremental_rollup"] = """
+SELECT o_orderpriority,
+       CAST(SUM(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       count(*) AS n,
+       MIN(CAST(round(o_totalprice*100,0) AS BIGINT)) AS min_cents,
+       MAX(CAST(round(o_totalprice*100,0) AS BIGINT)) AS max_cents
+FROM orders GROUP BY o_orderpriority
+"""
+
 ORACLES["funnel_conversion"] = """
 WITH s1 AS (
   SELECT user_id, min(ts) AS t FROM events

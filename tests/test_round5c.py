@@ -452,3 +452,22 @@ def test_weighted_sample_proportional_and_deterministic(spark):
     assert heavy > 80           # expectation ~98; far above the 50 of uniform
     again = weighted_sample(df.repartition(17), "w", 100).collect()
     assert {r["doc_id"] for r in got} == {r["doc_id"] for r in again}
+
+
+# --- incremental view maintenance --------------------------------------------
+
+def test_apply_changes_retracts_and_drops_empty_groups(spark):
+    from supersonic_spark.operators.ivm import apply_changes
+    import pytest as _pt
+    agg = lambda rows: spark.createDataFrame(
+        rows, "k string, s long, n long")
+    base = agg([("a", 100, 3), ("b", 50, 1), ("c", 7, 2)])
+    ins = agg([("a", 10, 1), ("d", 5, 1)])
+    dels = agg([("b", 50, 1), ("c", 3, 1)])
+    got = {r["k"]: (r["s"], r["n"])
+           for r in apply_changes(base, ins, dels, ["k"],
+                                  sums=("s",), counts=("n",)).collect()}
+    # b emptied -> gone; a grew; c shrank; d appeared
+    assert got == {"a": (110, 4), "c": (4, 1), "d": (5, 1)}
+    with _pt.raises(ValueError):
+        apply_changes(base, ins, dels, ["k"], sums=("s",), counts=())
