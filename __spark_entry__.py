@@ -2272,6 +2272,29 @@ def q_pivot_agg(spark, sf):
                     F.col("P").alias("p_cents")))
 
 
+def q_resample_ffill(spark, sf):
+    """Per-user hourly resample + forward fill: grid generated
+    key-locally (sequence+explode between the key's first/last hour),
+    gaps inherit the previous hourly max. DuckDB twin fills via ASOF
+    join — same semantics, two idioms."""
+    from supersonic_spark.operators.analytics import resample_ffill
+    e = _t(spark, sf, "events").withColumn("cents", _cents(F.col("value")))
+    return resample_ffill(e, "user_id", "ts", "cents")
+
+
+def q_winsorize(spark, sf):
+    """Per-group percentile clipping (winsorization): values clamped to
+    the returnflag's [p05, p95]; percentile table broadcast back onto
+    the scan so the fact rows never shuffle."""
+    from supersonic_spark.operators.analytics import winsorize
+    li = _t(spark, sf, "lineitem").withColumn(
+        "cents", _cents(F.col("l_extendedprice")))
+    return winsorize(
+        li.select("l_orderkey", "l_linenumber", "l_returnflag", "cents"),
+        "cents", "l_returnflag").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "cents", "clipped")
+
+
 def q_incremental_rollup(spark, sf):
     """Incremental view maintenance: the priority rollup maintained by
     merging yesterday's aggregate with the new-arrivals aggregate (two
@@ -2649,6 +2672,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "weighted_sample": q_weighted_sample,
         "incremental_rollup": q_incremental_rollup,
+        "resample_ffill": q_resample_ffill,
+        "winsorize": q_winsorize,
     }
 
 

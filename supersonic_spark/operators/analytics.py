@@ -52,6 +52,65 @@ def funnel(df: DataFrame, steps: list[str], user_col: str = "user_id",
     return res
 
 
+def resample_ffill(df: DataFrame, key_col: str, ts_col: str,
+                   value_col: str, step_hours: int = 1) -> DataFrame:
+    """Time-series resampling with forward fill: per key, an hourly grid
+    from the key's first to last observed hour; each grid point carries
+    the latest observed hourly value at or before it (gaps inherit the
+    previous value). The hourly observation is MAX(value) within the
+    hour (deterministic under intra-hour ordering).
+
+    Returns (key, h, v) with v never NULL (the grid starts at an
+    observed hour).
+
+    Scale: one groupBy for hourly aggregates, one for per-key bounds
+    (grid size = hours-of-history per key, generated key-locally by
+    sequence+explode — no cross-key blowup), one window ffill per key
+    ordered by the grid — all key-partitioned; no global sort.
+    """
+    from pyspark.sql import Window
+    h = F.date_trunc("hour", F.col(ts_col))
+    hourly = (df.select(F.col(key_col), h.alias("h"), F.col(value_col))
+                .groupBy(key_col, "h")
+                .agg(F.max(value_col).alias("_v")))
+    bounds = hourly.groupBy(key_col).agg(F.min("h").alias("_lo"),
+                                         F.max("h").alias("_hi"))
+    grid = bounds.select(
+        key_col,
+        F.explode(F.sequence(
+            "_lo", "_hi",
+            F.expr(f"interval {int(step_hours)} hour"))).alias("h"))
+    w = (Window.partitionBy(key_col).orderBy("h")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (grid.join(hourly, [key_col, "h"], "left")
+                .withColumn("v", F.last("_v", ignorenulls=True).over(w))
+                .select(key_col, "h", "v"))
+
+
+def winsorize(df: DataFrame, value_col: str, group_col: str,
+              lo: float = 0.05, hi: float = 0.95) -> DataFrame:
+    """Winsorization (outlier clipping) per group: values are clamped to
+    the group's [lo, hi] interpolated percentiles — the standard robust
+    preprocessing step before scaling/aggregation. Adds ``clipped``;
+    keeps the original column.
+
+    Scale: one groupBy computing two percentiles per group (Spark's
+    exact percentile — at extreme cardinality swap in dd_quantiles),
+    broadcast-joined back onto the scan: one shuffle of the fact rows
+    never happens.
+    """
+    pcts = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, {lo!r})").alias("_plo"),
+        F.expr(f"percentile({value_col}, {hi!r})").alias("_phi"))
+    return (df.join(F.broadcast(pcts), group_col)
+              .withColumn(
+                  "clipped",
+                  F.round(F.least(F.greatest(F.col(value_col).cast("double"),
+                                             F.col("_plo")),
+                                  F.col("_phi")), 4))
+              .drop("_plo", "_phi"))
+
+
 def cohort_retention(df: DataFrame, user_col: str = "user_id",
                      ts_col: str = "ts") -> DataFrame:
     """Weekly cohort retention: users grouped by the week of their first

@@ -1891,6 +1891,37 @@ FROM c GROUP BY o_orderpriority
 
 ORACLES["sketch_dd_quantiles"] = _dd_quantiles_oracle()
 
+ORACLES["resample_ffill"] = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS h,
+         MAX(CAST(round(value*100, 0) AS BIGINT)) AS v
+  FROM events GROUP BY 1, 2),
+bounds AS (
+  SELECT user_id, min(h) AS lo, max(h) AS hi FROM hourly GROUP BY 1),
+grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+  FROM bounds)
+SELECT g.user_id, g.h, hv.v
+FROM grid g ASOF JOIN hourly hv
+  ON hv.user_id = g.user_id AND g.h >= hv.h
+"""
+
+ORACLES["winsorize"] = """
+WITH p AS (
+  SELECT l_returnflag,
+         quantile_cont(CAST(round(l_extendedprice*100,0) AS BIGINT), 0.05)
+           AS plo,
+         quantile_cont(CAST(round(l_extendedprice*100,0) AS BIGINT), 0.95)
+           AS phi
+  FROM lineitem GROUP BY 1)
+SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+       CAST(round(l.l_extendedprice*100,0) AS BIGINT) AS cents,
+       round(least(greatest(
+         CAST(CAST(round(l.l_extendedprice*100,0) AS BIGINT) AS DOUBLE),
+         p.plo), p.phi), 4) AS clipped
+FROM lineitem l JOIN p USING (l_returnflag)
+"""
+
 # IVM gate: the oracle is the FROM-SCRATCH rollup — the merge of the
 # two partial states must equal it exactly
 ORACLES["incremental_rollup"] = """

@@ -471,3 +471,21 @@ def test_apply_changes_retracts_and_drops_empty_groups(spark):
     assert got == {"a": (110, 4), "c": (4, 1), "d": (5, 1)}
     with _pt.raises(ValueError):
         apply_changes(base, ins, dels, ["k"], sums=("s",), counts=())
+
+
+# --- resample + forward fill --------------------------------------------------
+
+def test_resample_ffill_fills_gaps_per_key(spark):
+    from supersonic_spark.operators.analytics import resample_ffill
+    import datetime as dt
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    rows = [
+        (1, t(0, 5), 10), (1, t(0, 40), 30),   # hour 0: max 30
+        (1, t(3, 1), 7),                        # hours 1-2 are gaps
+        (2, t(5, 0), 99),                       # single-hour key
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    got = {(r["k"], r["h"].hour): r["v"]
+           for r in resample_ffill(df, "k", "ts", "v").collect()}
+    assert got == {(1, 0): 30, (1, 1): 30, (1, 2): 30, (1, 3): 7,
+                   (2, 5): 99}
