@@ -2272,6 +2272,50 @@ def q_pivot_agg(spark, sf):
                     F.col("P").alias("p_cents")))
 
 
+def q_json_extract(spark, sf):
+    """Semi-structured extraction: scalar, nested-object, and
+    array-index JSON paths over the events props column plus a derived
+    nested document — codegen get_json_object, no UDFs."""
+    e = _t(spark, sf, "events")
+    nested = F.concat(
+        F.lit('{"a":{"b":['), (F.col("event_id") % 7).cast("string"),
+        F.lit(',5]},"s":"v'), (F.col("event_id") % 3).cast("string"),
+        F.lit('"}'))
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        F.get_json_object(nested, "$.a.b[0]").cast("int").alias("b0"),
+        F.get_json_object(nested, "$.s").alias("s"))
+
+
+def q_context_assembly(spark, sf):
+    """Transcript-style context assembly: per user, the trailing-3
+    event-type chain as one string (sliding collect_list over a ROWS
+    frame — the 'previous k turns' packing a conversation pipeline
+    feeds a model)."""
+    from pyspark.sql import Window
+    e = _t(spark, sf, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-2, 0))
+    return e.select(
+        "event_id", "user_id",
+        F.array_join(F.collect_list("event_type").over(w), " > ")
+        .alias("ctx"))
+
+
+def q_fuzzy_join_blocked(spark, sf):
+    """Entity-resolution fuzzy join: nation names against a corrupted
+    variant (first char substituted), matched at edit distance <= 2
+    inside length blocks — never a cross join."""
+    from supersonic_spark.text.dedup import fuzzy_join_blocked
+    n = _t(spark, sf, "nation")
+    dirty = n.select(
+        F.concat(F.lit("x"), F.substring("n_name", 2, 99))
+        .alias("dirty_name"))
+    return fuzzy_join_blocked(n, dirty, "n_name", "dirty_name",
+                              max_dist=2, block="length")
+
+
 def q_resample_ffill(spark, sf):
     """Per-user hourly resample + forward fill: grid generated
     key-locally (sequence+explode between the key's first/last hour),
@@ -2674,6 +2718,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_rollup": q_incremental_rollup,
         "resample_ffill": q_resample_ffill,
         "winsorize": q_winsorize,
+        "json_extract": q_json_extract,
+        "context_assembly": q_context_assembly,
+        "fuzzy_join_blocked": q_fuzzy_join_blocked,
     }
 
 

@@ -1891,6 +1891,41 @@ FROM c GROUP BY o_orderpriority
 
 ORACLES["sketch_dd_quantiles"] = _dd_quantiles_oracle()
 
+ORACLES["json_extract"] = """
+WITH n AS (
+  SELECT event_id, props,
+         '{"a":{"b":[' || CAST(event_id % 7 AS VARCHAR)
+           || ',5]},"s":"v' || CAST(event_id % 3 AS VARCHAR) || '"}'
+           AS nested
+  FROM events)
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+       CAST(json_extract_string(nested, '$.a.b[0]') AS INTEGER) AS b0,
+       json_extract_string(nested, '$.s') AS s
+FROM n
+"""
+
+ORACLES["context_assembly"] = """
+SELECT event_id, user_id,
+       array_to_string(
+         list(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+         ' > ') AS ctx
+FROM events
+"""
+
+ORACLES["fuzzy_join_blocked"] = """
+WITH dirty AS (
+  SELECT DISTINCT 'x' || substr(n_name, 2) AS dirty_name FROM nation),
+a AS (SELECT DISTINCT n_name, length(n_name) AS bk FROM nation),
+b AS (SELECT DISTINCT dirty_name, length(dirty_name) AS bk FROM dirty)
+SELECT a.n_name, b.dirty_name,
+       CAST(levenshtein(a.n_name, b.dirty_name) AS INTEGER) AS dist
+FROM a JOIN b USING (bk)
+WHERE levenshtein(a.n_name, b.dirty_name) <= 2
+"""
+
 ORACLES["resample_ffill"] = """
 WITH hourly AS (
   SELECT user_id, date_trunc('hour', ts) AS h,

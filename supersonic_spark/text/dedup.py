@@ -183,3 +183,37 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                                 / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4))
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))
+
+
+def fuzzy_join_blocked(left: DataFrame, right: DataFrame,
+                       left_col: str, right_col: str,
+                       max_dist: int = 2,
+                       block: str = "length") -> DataFrame:
+    """Approximate string join: pairs whose edit distance <= max_dist,
+    compared only INSIDE a blocking class (entity-resolution style —
+    an unblocked fuzzy join is a cross join and is refused). Returns
+    (left_col, right_col, dist).
+
+    block="length" buckets on exact string length — complete for
+    substitution-only noise (the common OCR/typo model) and misses
+    insert/delete noise by construction; pass block="prefix" to bucket
+    on the first character instead (complete for non-initial edits).
+    At scale the blocked join is an equi shuffle join; levenshtein runs
+    codegen-side per candidate pair.
+    """
+    if block == "length":
+        bl = F.length
+    elif block == "prefix":
+        def bl(c):
+            return F.substring(c, 1, 1)
+    else:
+        raise ValueError(f"unknown blocking scheme {block!r}")
+    a = left.select(F.col(left_col).alias("_l"),
+                    bl(F.col(left_col)).alias("_bk")).distinct()
+    b = right.select(F.col(right_col).alias("_r"),
+                     bl(F.col(right_col)).alias("_bk")).distinct()
+    return (a.join(b, "_bk")
+             .withColumn("dist", F.levenshtein(F.col("_l"), F.col("_r")))
+             .filter(F.col("dist") <= max_dist)
+             .select(F.col("_l").alias(left_col),
+                     F.col("_r").alias(right_col), "dist"))
