@@ -2272,6 +2272,26 @@ def q_pivot_agg(spark, sf):
                     F.col("P").alias("p_cents")))
 
 
+def q_triangle_count(spark, sf):
+    """Graph analytics beyond components: triangle count on the
+    co-purchase graph (parts sharing an order). Edges are oriented
+    u<v<w so each triangle is counted once; the wedge join is bounded
+    by per-order item count (<=7), never a cross join."""
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("v"))
+    edges = (a.join(b, "o").filter(F.col("u") < F.col("v"))
+              .select("u", "v").distinct())
+    e2 = edges.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    e3 = edges.select(F.col("u").alias("u2"), F.col("v").alias("w2"))
+    wedges = edges.join(e2, "v")
+    tri = wedges.join(e3, (F.col("u") == F.col("u2"))
+                      & (F.col("w") == F.col("w2")))
+    return tri.agg(F.count("*").alias("n_triangles"))
+
+
 def q_json_extract(spark, sf):
     """Semi-structured extraction: scalar, nested-object, and
     array-index JSON paths over the events props column plus a derived
@@ -2721,6 +2741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "context_assembly": q_context_assembly,
         "fuzzy_join_blocked": q_fuzzy_join_blocked,
+        "triangle_count": q_triangle_count,
     }
 
 

@@ -1891,6 +1891,17 @@ FROM c GROUP BY o_orderpriority
 
 ORACLES["sketch_dd_quantiles"] = _dd_quantiles_oracle()
 
+ORACLES["triangle_count"] = """
+WITH edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey)
+SELECT count(*) AS n_triangles
+FROM edges e1
+JOIN edges e2 ON e1.v = e2.u
+JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+"""
+
 ORACLES["json_extract"] = """
 WITH n AS (
   SELECT event_id, props,
