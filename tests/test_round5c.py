@@ -489,3 +489,38 @@ def test_resample_ffill_fills_gaps_per_key(spark):
            for r in resample_ffill(df, "k", "ts", "v").collect()}
     assert got == {(1, 0): 30, (1, 1): 30, (1, 2): 30, (1, 3): 7,
                    (2, 5): 99}
+
+
+# --- plan assertions for the analytics wave ----------------------------------
+
+def test_winsorize_broadcasts_percentiles_no_fact_shuffle(spark):
+    from supersonic_spark.operators.analytics import winsorize
+    df = spark.range(10_000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 97).cast("long").alias("v"))
+    plan = (winsorize(df, "v", "g")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    # the only exchanges allowed are the percentile agg + broadcast —
+    # the fact side must not hash-repartition
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_fuzzy_join_blocked_has_no_cartesian(spark):
+    from supersonic_spark.text.dedup import fuzzy_join_blocked
+    df = spark.createDataFrame([("alpha",), ("beta",)], ["s"])
+    d2 = spark.createDataFrame([("alphx",), ("betz",)], ["t"])
+    out = fuzzy_join_blocked(df, d2, "s", "t", max_dist=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    got = {(r["s"], r["t"]) for r in out.collect()}
+    assert got == {("alpha", "alphx"), ("beta", "betz")}
+
+
+def test_dd_sketch_is_map_side_combined(spark):
+    from supersonic_spark.functions.sketches import dd_sketch
+    df = spark.range(10_000).select((F.col("id") + 1.0).alias("x"))
+    plan = dd_sketch(df, "x")._jdf.queryExecution().executedPlan().toString()
+    # partial+final HashAggregate pair around one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange hashpartitioning") == 1
