@@ -2548,6 +2548,157 @@ def q_ivfpq_topk_indexed(spark, sf):
                               cents, books, n_probe=4, refine=30)
 
 
+def q_zscore_anomaly(spark, sf):
+    """Per-type standardization + outlier flag: z = (value - mean)/
+    stddev_pop within the event_type, flag at |z| > 1.5 (decided on the
+    rounded z so the cut is engine-portable). Stats broadcast back onto
+    the scan — fact rows never shuffle."""
+    from supersonic_spark.operators.analytics import zscore_flag
+    e = _t(spark, sf, "events")
+    return zscore_flag(e.select("event_id", "event_type", "value"),
+                       "value", "event_type", threshold=1.5).select(
+        "event_id", "event_type", "value", "z", "is_anomaly")
+
+
+def q_window_distribution(spark, sf):
+    """Distribution window functions: ntile(4), percent_rank, cume_dist
+    per priority over a fully deterministic (cents, key) order. All
+    three are exact integer-ratio results — no float tolerance needed."""
+    from pyspark.sql import Window
+    o = _t(spark, sf, "orders").withColumn(
+        "cents", _cents(F.col("o_totalprice")))
+    w = Window.partitionBy("o_orderpriority").orderBy("cents",
+                                                      "o_orderkey")
+    return o.select(
+        "o_orderkey", "o_orderpriority", "cents",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"))
+
+
+def q_quantile_bucketize(spark, sf):
+    """Equal-frequency binning of order totals into 10 buckets via
+    exact interpolated percentile boundaries broadcast onto the scan —
+    the scale-safe form of ntile (no global sort; see operator
+    docstring)."""
+    from supersonic_spark.operators.analytics import quantile_bucketize
+    o = _t(spark, sf, "orders").withColumn(
+        "cents", _cents(F.col("o_totalprice")))
+    return quantile_bucketize(o.select("cents"), "cents", 10).select(
+        "bucket", "n",
+        F.col("min_val").alias("min_cents"),
+        F.col("max_val").alias("max_cents"))
+
+
+def q_corr_by_group(spark, sf):
+    """Bivariate statistics per group: Pearson correlation and
+    population covariance of (quantity, extendedprice) per returnflag —
+    one partial-aggregating pass (Spark's corr/covar are single-pass
+    moment aggregates)."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4)
+         .alias("corr_qty_price"),
+        F.round(F.corr("l_quantity", "l_discount"), 4)
+         .alias("corr_qty_disc"),
+        F.round(F.covar_pop("l_quantity", "l_discount"), 4)
+         .alias("covar_qty_disc"))
+
+
+def q_tfidf_topterms(spark, sf):
+    """Top-5 characteristic terms per document by smoothed TF-IDF —
+    lexical feature extraction over the corpus (explode + two keyed
+    aggs + doc-partitioned rank window; no global sort, no UDFs)."""
+    from supersonic_spark.text.retrieval import tfidf_topk
+    return tfidf_topk(_t(spark, sf, "documents"), k=5)
+
+
+def q_bm25_topk(spark, sf):
+    """BM25 ranked retrieval for the query {spark, window, hash}: the
+    inverted-index probe in relational form — the tf table is filtered
+    to the query terms BEFORE any join, so work is O(matching docs),
+    then a bounded TakeOrdered top-20."""
+    from supersonic_spark.text.retrieval import bm25_topk
+    return bm25_topk(_t(spark, sf, "documents"),
+                     ["spark", "window", "hash"], k=20)
+
+
+def q_feature_hash(spark, sf):
+    """Hashing-trick featurization: token -> portable_hash64 % 64
+    feature id, sparse (doc, feature, count) rows. The md5 arithmetic
+    makes feature ids reproducible in any engine — the oracle computes
+    the identical buckets."""
+    from supersonic_spark.text.retrieval import feature_hash
+    return feature_hash(_t(spark, sf, "documents"), n_features=64)
+
+
+def q_ewma_smooth(spark, sf):
+    """Per-user exponential smoothing (alpha=0.1, adjust=False
+    recursion) of event values, ordered by (ts, event_id) — an
+    Arrow-batched applyInPandas stateful kernel; the oracle verifies
+    via the closed-form weighted prefix sum, exact at this group depth
+    (max ~100 rows/user: (1/0.9)^100 ~ 3.7e4, far inside double
+    range). The 1.37e-9 shift before rounding exists because the
+    2-decimal inputs make true EWMA values land EXACTLY on round-4
+    half-way points (x.xxxx5), where a 1e-14 method difference flips
+    the rounding; the shared shift moves both engines off the
+    boundary."""
+    from supersonic_spark.operators.analytics import ewma
+    e = _t(spark, sf, "events").select("event_id", "user_id", "ts",
+                                       "value")
+    out = ewma(e, "user_id", ["ts", "event_id"], "value", alpha=0.1)
+    return out.select("event_id", "user_id",
+                      F.round(F.col("ewma") + F.lit(1.37e-9), 4)
+                       .alias("ewma"))
+
+
+def q_resample_interpolate(spark, sf):
+    """Per-user hourly resample with linear interpolation between the
+    surrounding observed hours (integer-exact arithmetic: cents and
+    epoch-second deltas, so both engines produce identical doubles).
+    DuckDB twin fills via two ASOF joins."""
+    from supersonic_spark.operators.analytics import resample_interpolate
+    e = _t(spark, sf, "events").withColumn("cents",
+                                           _cents(F.col("value")))
+    return resample_interpolate(e, "user_id", "ts", "cents")
+
+
+def q_pagerank(spark, sf):
+    """5-iteration PageRank on the symmetrized co-purchase part graph
+    (join+sum per iteration, checkpointed ranks). The oracle unrolls
+    the same five iterations as chained CTEs; ranks compared as
+    pr*N rounded to 4."""
+    from supersonic_spark.operators.graph import pagerank
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("v"))
+    und = (a.join(b, "o").filter(F.col("u") < F.col("v"))
+            .select("u", "v").distinct())
+    edges = und.unionAll(und.select(F.col("v").alias("u"),
+                                    F.col("u").alias("v")))
+    return pagerank(edges, "u", "v", n_iter=5).select(
+        F.col("id").alias("part"), "pr_scaled")
+
+
+def q_skew_join_salted(spark, sf):
+    """Salted skew join: orders replicated x8 with a salt, lineitem
+    salted row-locally (portable md5 hash of the line identity — never
+    rand()), joined on (orderkey, salt). Result must equal the plain
+    join — which is exactly what the oracle asserts."""
+    from supersonic_spark.operators.core import salted_join
+    from supersonic_spark.text.analysis import portable_hash64
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_linenumber")
+    o = _t(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus",
+        _cents(F.col("o_totalprice")).alias("totalprice_cents"))
+    salt = portable_hash64(
+        F.concat_ws("#", F.col("l_orderkey"), F.col("l_linenumber")))
+    return salted_join(li, o, ["l_orderkey"], salt, n_salt=8)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2742,6 +2893,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "context_assembly": q_context_assembly,
         "fuzzy_join_blocked": q_fuzzy_join_blocked,
         "triangle_count": q_triangle_count,
+        # --- round-5 wave 3: stats / retrieval / graph / skew ---
+        "zscore_anomaly": q_zscore_anomaly,
+        "window_distribution": q_window_distribution,
+        "quantile_bucketize": q_quantile_bucketize,
+        "corr_by_group": q_corr_by_group,
+        "tfidf_topterms": q_tfidf_topterms,
+        "bm25_topk": q_bm25_topk,
+        "feature_hash": q_feature_hash,
+        "ewma_smooth": q_ewma_smooth,
+        "resample_interpolate": q_resample_interpolate,
+        "pagerank": q_pagerank,
+        "skew_join_salted": q_skew_join_salted,
     }
 
 

@@ -111,6 +111,143 @@ def winsorize(df: DataFrame, value_col: str, group_col: str,
               .drop("_plo", "_phi"))
 
 
+def ewma(df: DataFrame, key_col: str, order_cols: list[str],
+         value_col: str, alpha: float = 0.1) -> DataFrame:
+    """Exponentially weighted moving average per key: the adjust=False
+    recursion y_0 = x_0, y_t = (1-alpha)*y_{t-1} + alpha*x_t, computed
+    over the key's rows ordered by `order_cols`. Adds ``ewma`` (double)
+    next to the input columns — the classic smoothing/feature step a
+    training pipeline runs per conversation or per user.
+
+    Implementation: Arrow-batched applyInPandas (pandas ewm) — each key
+    group arrives as ONE pandas frame (unlike applyInPandasWithState's
+    chunked iterator), so the sort + recursion see the whole group.
+
+    Scale: one hash shuffle on key; per-group memory is the group's own
+    rows (conversations/users, bounded); zero driver-side state. The
+    recursion is sequential per key but keys are independent — exactly
+    the parallelism a cluster has.
+    """
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(list(df.schema.fields)
+                            + [StructField("ewma", DoubleType())])
+    order = list(order_cols)
+
+    def kernel(pdf):
+        from supersonic_spark.runtime import pin_worker_threads
+        pin_worker_threads()
+        pdf = pdf.sort_values(order, kind="mergesort")
+        pdf["ewma"] = (pdf[value_col].astype("float64")
+                       .ewm(alpha=alpha, adjust=False).mean())
+        return pdf
+
+    return df.groupBy(key_col).applyInPandas(kernel, schema=out_schema)
+
+
+def resample_interpolate(df: DataFrame, key_col: str, ts_col: str,
+                         value_col: str,
+                         step_hours: int = 1) -> DataFrame:
+    """Per-key hourly resample with LINEAR interpolation: the grid is
+    the key's observed [first, last] hour; observed hours carry
+    MAX(value) in the hour, gaps carry the straight line between the
+    surrounding observations. Companion to :func:`resample_ffill` for
+    numeric series where step-function fill distorts (sensor values,
+    prices).
+
+    Returns (key, h, v double). Interior gaps always have both
+    neighbors (the grid starts/ends at observed hours).
+
+    Scale: same shape as resample_ffill — key-local grid generation,
+    key-partitioned windows only; the prev/next scan is two window
+    passes, no self-join.
+    """
+    from pyspark.sql import Window
+    h = F.date_trunc("hour", F.col(ts_col))
+    hourly = (df.select(F.col(key_col), h.alias("h"), F.col(value_col))
+                .groupBy(key_col, "h")
+                .agg(F.max(value_col).alias("_v")))
+    bounds = hourly.groupBy(key_col).agg(F.min("h").alias("_lo"),
+                                         F.max("h").alias("_hi"))
+    grid = bounds.select(
+        key_col,
+        F.explode(F.sequence(
+            "_lo", "_hi",
+            F.expr(f"interval {int(step_hours)} hour"))).alias("h"))
+    wp = (Window.partitionBy(key_col).orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wn = (Window.partitionBy(key_col).orderBy("h")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    g = (grid.join(hourly, [key_col, "h"], "left")
+             .withColumn("_pv", F.last("_v", ignorenulls=True).over(wp))
+             .withColumn("_ph", F.last(F.when(F.col("_v").isNotNull(),
+                                              F.col("h")),
+                                       ignorenulls=True).over(wp))
+             .withColumn("_nv", F.first("_v", ignorenulls=True).over(wn))
+             .withColumn("_nh", F.first(F.when(F.col("_v").isNotNull(),
+                                               F.col("h")),
+                                        ignorenulls=True).over(wn)))
+    dt = (F.unix_timestamp("h") - F.unix_timestamp("_ph"))
+    dT = (F.unix_timestamp("_nh") - F.unix_timestamp("_ph"))
+    interp = (F.col("_pv")
+              + ((F.col("_nv") - F.col("_pv")) * dt) / dT)
+    return g.select(
+        key_col, "h",
+        F.round(F.when(F.col("_v").isNotNull(),
+                       F.col("_v").cast("double"))
+                .otherwise(interp), 4).alias("v"))
+
+
+def zscore_flag(df: DataFrame, value_col: str, group_col: str,
+                threshold: float = 1.5) -> DataFrame:
+    """Per-group standardization + anomaly flag: z = (x - mean)/stddev
+    within the group (population stddev), flagged when |z| exceeds the
+    threshold. The flag is computed from the ROUNDED z (4 decimals) so
+    the decision is reproducible across engines. Adds ``z`` and
+    ``is_anomaly``.
+
+    Scale: one tiny groupBy for (mean, std) per group, broadcast back
+    onto the scan — the fact rows never shuffle (same shape as
+    winsorize).
+    """
+    stats = df.groupBy(group_col).agg(
+        F.avg(value_col).alias("_mu"),
+        F.stddev_pop(value_col).alias("_sd"))
+    z = F.round((F.col(value_col) - F.col("_mu")) / F.col("_sd"), 4)
+    return (df.join(F.broadcast(stats), group_col)
+              .withColumn("z", z)
+              .withColumn("is_anomaly", F.abs(F.col("z")) > threshold)
+              .drop("_mu", "_sd"))
+
+
+def quantile_bucketize(df: DataFrame, value_col: str,
+                       n_buckets: int = 10) -> DataFrame:
+    """Equal-frequency binning: bucket boundaries are the exact
+    interpolated q = i/n percentiles (i = 1..n-1); each row's bucket is
+    1 + the number of boundaries strictly below its value. Returns the
+    per-bucket histogram (bucket, n, min_val, max_val).
+
+    Deliberately NOT ntile(): a global ntile is a single-partition
+    global sort — a scale-killer. Here the boundaries come from one
+    percentile aggregation (O(groups)=1 row), broadcast back, and
+    bucket assignment is a scan-local expression — no global sort, no
+    single-reducer stage at any data size.
+    """
+    qs = ", ".join(f"{i / n_buckets!r}" for i in range(1, n_buckets))
+    bounds = df.agg(
+        F.expr(f"percentile({value_col}, array({qs}))").alias("_bs"))
+    return (df.crossJoin(F.broadcast(bounds))
+              .withColumn(
+                  "bucket",
+                  (F.lit(1) + F.expr(
+                      f"size(filter(_bs, _b -> {value_col} > _b))"))
+                  .cast("int"))
+              .groupBy("bucket")
+              .agg(F.count("*").alias("n"),
+                   F.min(value_col).alias("min_val"),
+                   F.max(value_col).alias("max_val")))
+
+
 def cohort_retention(df: DataFrame, user_col: str = "user_id",
                      ts_col: str = "ts") -> DataFrame:
     """Weekly cohort retention: users grouped by the week of their first

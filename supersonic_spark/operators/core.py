@@ -252,3 +252,34 @@ def group_aggregate_with_limit(df: DataFrame, key: str, agg_col: str, k: int,
                   F.sum("n_rows").alias("n_rows"))
              .filter(F.col("n_rows").isNotNull()))
     return top.unionAll(other.select(key, "agg_val", "n_rows"))
+
+
+def salted_join(fact: DataFrame, dim: DataFrame, on: list[str],
+                salt_expr: Column, n_salt: int = 8) -> DataFrame:
+    """Skew-mitigated equi join: the dim side is replicated n_salt
+    times with a salt column, the fact side gets a deterministic
+    row-local salt (``salt_expr`` — e.g. xxhash64 of a row-identifying
+    column, NEVER rand()), and the join runs on (keys..., salt). The
+    result is semantically identical to fact.join(dim, on) — the oracle
+    gate proves it — but a hot key's fact rows now spread across
+    n_salt shuffle partitions instead of one straggler.
+
+    This is the manual form of what AQE skew-join does at runtime;
+    it exists for layouts AQE can't re-plan (pre-bucketed inputs,
+    deterministic partitioning contracts) and mirrors the salting the
+    encode pipeline applies to mega-conversations (pipeline.py
+    EncodeConfig.salt_threshold).
+
+    Scale: dim replication is explode on the SMALL side only
+    (n_salt x |dim| rows); the fact side is never duplicated and its
+    salt is computed scan-local. Row-local salting needs no pre-count
+    job (contrast the skew_precount path in the encode pipeline).
+    """
+    if n_salt < 1:
+        raise ValueError("n_salt must be >= 1")
+    dim_rep = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
+    fact_s = fact.withColumn(
+        "_salt", F.pmod(salt_expr, F.lit(n_salt)).cast("int"))
+    return (fact_s.join(dim_rep, on=[*on, "_salt"], how="inner")
+                  .drop("_salt"))

@@ -64,3 +64,47 @@ def dedup_representatives(pairs: DataFrame, id_a: str = "id_a",
     return (cc.groupBy("cluster_id")
               .agg(F.count("*").alias("n_members"))
               .withColumnRenamed("cluster_id", "rep_id"))
+
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             n_iter: int = 5, damping: float = 0.85) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list. Returns
+    (id, pr_scaled) where pr_scaled = rank * N (so a uniform graph
+    reads 1.0 per node regardless of size).
+
+    Assumes every node has out-degree >= 1 — true for symmetrized
+    graphs (co-occurrence / co-purchase), the shape this engine feeds
+    it; dangling-mass redistribution is deliberately out of scope so
+    the per-iteration plan stays one join + one aggregation.
+
+    Scale: each iteration is one equi join (edges x ranks, both hash
+    partitioned on the key) + a map-side-combining sum — the standard
+    distributed formulation; ranks are localCheckpoint()ed per
+    iteration so plan size stays constant. A fixed iteration count
+    (not convergence polling) keeps it one action at the end.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e = e.localCheckpoint(eager=True)
+    outdeg = e.groupBy("src").agg(F.count("*").alias("_deg"))
+    nodes = (e.select(F.col("src").alias("id"))
+              .unionAll(e.select(F.col("dst").alias("id")))
+              .distinct()
+              .localCheckpoint(eager=True))
+    n = nodes.count()
+    ranks = nodes.withColumn("pr", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    for _ in range(n_iter):
+        contrib = (e.join(outdeg, "src")
+                    .join(ranks.withColumnRenamed("id", "src"), "src")
+                    .groupBy(F.col("dst").alias("id"))
+                    .agg(F.sum(F.col("pr") / F.col("_deg"))
+                         .alias("_in")))
+        ranks = (nodes.join(contrib, "id", "left")
+                      .select("id",
+                              (F.lit(base)
+                               + F.lit(damping)
+                               * F.coalesce(F.col("_in"), F.lit(0.0)))
+                              .alias("pr"))
+                      .localCheckpoint(eager=True))
+    return ranks.select("id",
+                        F.round(F.col("pr") * n, 4).alias("pr_scaled"))

@@ -2082,3 +2082,200 @@ FROM events l JOIN events r ON l.user_id = r.user_id
 WHERE l.event_type = 'view' AND r.event_type = 'purchase'
   AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 2 HOUR
 """
+
+
+# ---------------------------------------------------------------------------
+# round-5 wave 3: stats / retrieval / graph / skew
+# ---------------------------------------------------------------------------
+# Float-parity notes for this wave: DuckDB numeric literals written in
+# E-notation (0.9e0) parse as DOUBLE, matching Spark's double literals
+# exactly — bare decimals would be DECIMAL and take a different
+# arithmetic path. Integer-exact intermediates (cents, epoch-second
+# deltas) keep interpolation bit-identical; everything transcendental
+# is rounded to 4 decimals on both sides.
+
+ORACLES["zscore_anomaly"] = """
+WITH s AS (
+  SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sd
+  FROM events GROUP BY 1)
+SELECT e.event_id, e.event_type, e.value,
+       round((e.value - s.mu) / s.sd, 4) AS z,
+       abs(round((e.value - s.mu) / s.sd, 4)) > 1.5e0 AS is_anomaly
+FROM events e JOIN s USING (event_type)
+"""
+
+ORACLES["window_distribution"] = """
+SELECT o_orderkey, o_orderpriority, cents,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM (SELECT o_orderkey, o_orderpriority,
+             CAST(round(o_totalprice*100, 0) AS BIGINT) AS cents
+      FROM orders)
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY cents, o_orderkey)
+"""
+
+ORACLES["quantile_bucketize"] = """
+WITH o AS (
+  SELECT CAST(round(o_totalprice*100, 0) AS BIGINT) AS cents
+  FROM orders),
+b AS (
+  SELECT quantile_cont(cents, [0.1e0,0.2e0,0.3e0,0.4e0,0.5e0,
+                               0.6e0,0.7e0,0.8e0,0.9e0]) AS bs
+  FROM o),
+asg AS (
+  SELECT cents, 1 + len(list_filter(b.bs, x -> cents > x)) AS bucket
+  FROM o, b)
+SELECT CAST(bucket AS INTEGER) AS bucket, count(*) AS n,
+       min(cents) AS min_cents, max(cents) AS max_cents
+FROM asg GROUP BY 1
+"""
+
+ORACLES["corr_by_group"] = """
+SELECT l_returnflag, count(*) AS n,
+       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       round(corr(l_quantity, l_discount), 4) AS corr_qty_disc,
+       round(covar_pop(l_quantity, l_discount), 4) AS covar_qty_disc
+FROM lineitem GROUP BY 1
+"""
+
+ORACLES["tfidf_topterms"] = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok
+  WHERE token <> '' GROUP BY 1, 2),
+dfx AS (SELECT token, count(*) AS df_docs FROM tf GROUP BY 1),
+nn AS (SELECT count(*) AS n FROM documents),
+sc AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dfx.df_docs,
+         tf.tf * (ln((nn.n + 1.0e0) / (dfx.df_docs + 1.0e0)) + 1.0e0)
+           AS score
+  FROM tf JOIN dfx USING (token), nn)
+SELECT doc_id, token, tf, df_docs, round(score, 4) AS score,
+       CAST(rn AS INTEGER) AS rn
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, token) AS rn
+      FROM sc)
+WHERE rn <= 5
+"""
+
+ORACLES["bm25_topk"] = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok
+  WHERE token <> '' GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dlen FROM tf GROUP BY 1),
+st AS (SELECT avg(dlen) AS avgdl, count(*) AS n FROM dl),
+qt AS (SELECT * FROM tf WHERE token IN ('spark', 'window', 'hash')),
+dfx AS (SELECT token, count(*) AS df FROM qt GROUP BY 1),
+sc AS (
+  SELECT qt.doc_id,
+         SUM((ln(1.0e0 + (st.n - dfx.df + 0.5e0) / (dfx.df + 0.5e0))
+              * (qt.tf * 2.2e0))
+             / (qt.tf + 1.2e0 * (1.0e0 - 0.75e0
+                                 + (0.75e0 * dl.dlen) / st.avgdl)))
+           AS score
+  FROM qt JOIN dfx USING (token) JOIN dl USING (doc_id), st
+  GROUP BY 1)
+SELECT doc_id, round(score, 4) AS score
+FROM sc ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+ORACLES["feature_hash"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents)
+SELECT doc_id,
+       CAST({_H.format(x='token')} % 64 AS INTEGER) AS feature,
+       count(*) AS cnt
+FROM tok WHERE token <> '' GROUP BY 1, 2
+"""
+
+# closed-form EWMA twin of the pandas adjust=False recursion:
+# y_t = (1-a)^t * (x_0 + sum_{i>=1} a*x_i/(1-a)^i); exact at this
+# group depth (max ~100 rows/user -> (1/0.9)^100 ~ 3.7e4). The 1.37e-9
+# shift before round(4) mirrors the Spark side: 2-decimal inputs put
+# true EWMA values exactly on x.xxxx5 boundaries, where the ~1e-14
+# recursion-vs-closed-form gap would flip the rounding.
+ORACLES["ewma_smooth"] = """
+WITH o AS (
+  SELECT event_id, user_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) - 1 AS rn
+  FROM events),
+u AS (
+  SELECT event_id, user_id, rn,
+         CASE WHEN rn = 0 THEN value
+              ELSE value * 0.1e0 / pow(0.9e0, rn) END AS uval
+  FROM o)
+SELECT event_id, user_id,
+       round(pow(0.9e0, rn)
+             * SUM(uval) OVER (PARTITION BY user_id ORDER BY rn)
+             + 1.37e-9, 4)
+         AS ewma
+FROM u
+"""
+
+ORACLES["resample_interpolate"] = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS h,
+         MAX(CAST(round(value*100, 0) AS BIGINT)) AS v
+  FROM events GROUP BY 1, 2),
+bounds AS (
+  SELECT user_id, min(h) AS lo, max(h) AS hi FROM hourly GROUP BY 1),
+grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+  FROM bounds)
+SELECT g.user_id, g.h,
+       round(CASE WHEN hv.v IS NOT NULL THEN CAST(hv.v AS DOUBLE)
+             ELSE p.v + ((n.v - p.v) * (epoch(g.h) - epoch(p.h)))
+                        / (epoch(n.h) - epoch(p.h)) END, 4) AS v
+FROM grid g
+LEFT JOIN hourly hv ON hv.user_id = g.user_id AND hv.h = g.h
+ASOF JOIN hourly p ON p.user_id = g.user_id AND g.h >= p.h
+ASOF JOIN hourly n ON n.user_id = g.user_id AND g.h <= n.h
+"""
+
+
+def _pagerank_oracle(n_iter: int = 5) -> str:
+    """Unrolled fixed-iteration PageRank: one CTE pair (contrib, rank)
+    per iteration — the SQL twin of the Spark join+sum loop."""
+    sql = """
+WITH und AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey),
+edges AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+deg AS (SELECT u, count(*) AS deg FROM edges GROUP BY 1),
+nodes AS (SELECT DISTINCT u AS id FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+r0 AS (SELECT id, 1.0e0 / nn.n AS pr FROM nodes, nn)"""
+    for i in range(1, n_iter + 1):
+        sql += f""",
+c{i} AS (
+  SELECT e.v AS id, SUM(r.pr / deg.deg) AS m
+  FROM edges e JOIN deg ON deg.u = e.u JOIN r{i - 1} r ON r.id = e.u
+  GROUP BY 1),
+r{i} AS (
+  SELECT nodes.id,
+         (1.0e0 - 0.85e0) / nn.n
+           + 0.85e0 * coalesce(c{i}.m, 0.0e0) AS pr
+  FROM nodes LEFT JOIN c{i} USING (id), nn)"""
+    sql += f"""
+SELECT r.id AS part, round(r.pr * nn.n, 4) AS pr_scaled
+FROM r{n_iter} r, nn"""
+    return sql
+
+
+ORACLES["pagerank"] = _pagerank_oracle(5)
+
+# the salted join's entire claim: identical to the plain equi join
+ORACLES["skew_join_salted"] = """
+SELECT l.l_orderkey, l.l_linenumber, o.o_orderstatus,
+       CAST(round(o.o_totalprice*100, 0) AS BIGINT) AS totalprice_cents
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+"""

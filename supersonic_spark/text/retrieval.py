@@ -1,0 +1,128 @@
+"""Full-text retrieval over the document corpus: TF-IDF term weighting,
+BM25 ranked search, and hashing-trick featurization.
+
+The lexical-search counterpart to the ANN stack (ann.py): where ANN
+ranks by embedding cosine, these rank by term statistics — the two
+retrieval modes a training-data pipeline mixes (semantic + lexical
+dedup/search). Everything is built-in DataFrame expressions (explode /
+groupBy / window), no UDFs, so the whole path stays in whole-stage
+codegen and every formula has an exact DuckDB twin.
+
+Scale notes (100 TB): the term pipeline is explode -> (doc, term)
+partial-count -> term-keyed df join — all map-side combining
+aggregations on bounded keys (vocabulary, documents). Scoring joins
+are term-keyed; the per-doc top-k is a doc-partitioned window, never a
+global sort. df (document frequency) tables are vocabulary-sized —
+broadcastable for real corpora vocabularies (<< doc count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from supersonic_spark.text.analysis import portable_hash64
+
+
+def term_counts(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(id, token, tf): whitespace tokens, empty tokens dropped."""
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"))
+    return (tok.filter(F.col("token") != "")
+               .groupBy(id_col, "token")
+               .agg(F.count("*").alias("tf")))
+
+
+def tfidf_topk(docs: DataFrame, k: int = 5, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF:
+    score = tf * (ln((N+1)/(df+1)) + 1) (the sklearn-style smooth idf,
+    always positive). Returns (doc_id, token, tf, df_docs, score, rn)
+    with rn = 1..k ranked by (score desc, token).
+
+    Scale: tf is one explode+partial-count; df is a vocabulary-keyed
+    count over the tf table; N is a 1-row broadcast. The rank window
+    partitions by document — no global sort.
+    """
+    from pyspark.sql import Window
+    tf = term_counts(docs, id_col, text_col)
+    dfx = tf.groupBy("token").agg(F.count("*").alias("df_docs"))
+    n = docs.agg(F.count("*").alias("_n"))
+    score = (F.col("tf")
+             * (F.log((F.col("_n") + F.lit(1.0))
+                      / (F.col("df_docs") + F.lit(1.0))) + F.lit(1.0)))
+    w = Window.partitionBy(id_col).orderBy(F.col("_score").desc(),
+                                          "token")
+    return (tf.join(dfx, "token")
+              .crossJoin(F.broadcast(n))
+              .withColumn("_score", score)
+              .withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= k)
+              .select(id_col, "token", "tf", "df_docs",
+                      F.round("_score", 4).alias("score"),
+                      F.col("rn").cast("int").alias("rn")))
+
+
+def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 20,
+              k1: float = 1.2, b: float = 0.75,
+              id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """BM25 ranked retrieval for a bag-of-terms query. Score per doc =
+    sum over query terms of
+        idf_t * (tf * (k1+1)) / (tf + k1 * (1 - b + b * dl/avgdl)),
+    idf_t = ln(1 + (N - df + 0.5)/(df + 0.5)). Returns the top-k
+    (doc_id, score) rows ranked by (score desc, doc_id) — a
+    deterministic cut at k.
+
+    Scale: the term filter cuts the tf table to |query| terms BEFORE
+    any join (predicate on the term-keyed aggregate — an inverted-index
+    probe in relational clothing); doc length and avgdl are one extra
+    aggregation each; the final top-k is a bounded global sort of the
+    matching docs only (TakeOrdered, not a full sort).
+    """
+    tf = term_counts(docs, id_col, text_col)
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("_dl"))
+    stats = dl.agg(F.avg("_dl").alias("_avgdl"),
+                   F.count("*").alias("_n"))
+    qt = tf.filter(F.col("token").isin(list(query_terms)))
+    dfx = qt.groupBy("token").agg(F.count("*").alias("_df"))
+    idf = F.log(F.lit(1.0)
+                + (F.col("_n") - F.col("_df") + F.lit(0.5))
+                / (F.col("_df") + F.lit(0.5)))
+    denom = (F.col("tf")
+             + F.lit(k1) * (F.lit(1.0) - F.lit(b)
+                            + (F.lit(b) * F.col("_dl")) / F.col("_avgdl")))
+    term_score = (idf * (F.col("tf") * F.lit(k1 + 1.0))) / denom
+    scored = (qt.join(dfx, "token")
+                .join(dl, id_col)
+                .crossJoin(F.broadcast(stats))
+                .groupBy(id_col)
+                .agg(F.sum(term_score).alias("_score")))
+    return (scored.orderBy(F.col("_score").desc(), id_col)
+                  .limit(k)
+                  .select(id_col, F.round("_score", 4).alias("score")))
+
+
+def feature_hash(docs: DataFrame, n_features: int = 64,
+                 id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Hashing-trick featurization: each token maps to bucket
+    portable_hash64(token) % n_features; returns the sparse count
+    vector as rows (doc_id, feature, cnt). Engine-portable (md5
+    arithmetic), so any system — including the DuckDB oracle —
+    reproduces the exact same feature ids.
+
+    Scale: explode + one (doc, feature)-keyed partial-count; output is
+    the sparse representation (no n_features-wide dense row blowup).
+    """
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"))
+    return (tok.filter(F.col("token") != "")
+               .withColumn("feature",
+                           (portable_hash64(F.col("token"))
+                            % n_features).cast("int"))
+               .groupBy(id_col, "feature")
+               .agg(F.count("*").alias("cnt")))

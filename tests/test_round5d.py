@@ -1,0 +1,242 @@
+"""Round-5 wave 3: stats operators (z-score, bucketize, EWMA,
+interpolation), lexical retrieval (TF-IDF, BM25, feature hashing),
+PageRank, and the salted skew join."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# --- EWMA ------------------------------------------------------------------
+
+def test_ewma_hand_computed(spark):
+    from supersonic_spark.operators.analytics import ewma
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 20.0), (1, 3, 30.0), (2, 1, 5.0)],
+        "k long, t long, x double")
+    rows = {(r.k, r.t): r.ewma
+            for r in ewma(df, "k", ["t"], "x", alpha=0.5).collect()}
+    assert rows[(1, 1)] == 10.0
+    assert rows[(1, 2)] == pytest.approx(15.0)   # 0.5*10 + 0.5*20
+    assert rows[(1, 3)] == pytest.approx(22.5)   # 0.5*15 + 0.5*30
+    assert rows[(2, 1)] == 5.0                   # groups independent
+
+
+def test_ewma_order_is_by_order_cols_not_input_order(spark):
+    from supersonic_spark.operators.analytics import ewma
+    # rows delivered out of order; the kernel must sort by t first
+    df = spark.createDataFrame(
+        [(1, 3, 30.0), (1, 1, 10.0), (1, 2, 20.0)],
+        "k long, t long, x double").repartition(3)
+    rows = {r.t: r.ewma
+            for r in ewma(df, "k", ["t"], "x", alpha=0.5).collect()}
+    assert rows[1] == 10.0 and rows[2] == 15.0 and rows[3] == 22.5
+
+
+# --- linear interpolation resample ----------------------------------------
+
+def test_resample_interpolate_midpoints(spark):
+    from supersonic_spark.operators.analytics import resample_interpolate
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:30:00", 100),
+         (1, "2024-01-01 03:10:00", 400)],
+        "k long, ts string, v long").withColumn(
+        "ts", F.to_timestamp("ts"))
+    rows = {r.h.hour: r.v
+            for r in resample_interpolate(df, "k", "ts", "v").collect()}
+    # observed hours carry the observation; the 2-hour gap splits 1/3 2/3
+    assert rows[0] == 100.0 and rows[3] == 400.0
+    assert rows[1] == pytest.approx(200.0)
+    assert rows[2] == pytest.approx(300.0)
+
+
+def test_resample_interpolate_observed_hours_not_interpolated(spark):
+    from supersonic_spark.operators.analytics import resample_interpolate
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 10),
+         (1, "2024-01-01 01:00:00", 99),
+         (1, "2024-01-01 02:00:00", 20)],
+        "k long, ts string, v long").withColumn(
+        "ts", F.to_timestamp("ts"))
+    rows = {r.h.hour: r.v
+            for r in resample_interpolate(df, "k", "ts", "v").collect()}
+    assert rows[1] == 99.0  # observed, NOT the 15.0 midpoint
+
+
+# --- z-score flag ----------------------------------------------------------
+
+def test_zscore_flag_hand_computed(spark):
+    from supersonic_spark.operators.analytics import zscore_flag
+    # group mean 20, population std 8.1650 over (10, 20, 30)
+    df = spark.createDataFrame(
+        [("a", 10.0), ("a", 20.0), ("a", 30.0)], "g string, x double")
+    rows = sorted(r.z for r in
+                  zscore_flag(df, "x", "g", threshold=1.0).collect())
+    assert rows[0] == pytest.approx(-1.2247, abs=1e-4)
+    assert rows[1] == 0.0
+    assert rows[2] == pytest.approx(1.2247, abs=1e-4)
+    flags = {r.x: r.is_anomaly
+             for r in zscore_flag(df, "x", "g", threshold=1.0).collect()}
+    assert flags[10.0] and flags[30.0] and not flags[20.0]
+
+
+def test_zscore_flag_broadcasts_stats(spark):
+    from supersonic_spark.operators.analytics import zscore_flag
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(100)], "g string, x double")
+    plan = _plan(zscore_flag(df, "x", "g"))
+    assert "BroadcastHashJoin" in plan  # fact rows never shuffle
+
+
+# --- quantile bucketize ----------------------------------------------------
+
+def test_quantile_bucketize_equal_frequency(spark):
+    from supersonic_spark.operators.analytics import quantile_bucketize
+    df = spark.createDataFrame([(i,) for i in range(1, 101)], "x long")
+    rows = {r.bucket: r for r in
+            quantile_bucketize(df, "x", 10).collect()}
+    assert len(rows) == 10
+    assert all(rows[b].n == 10 for b in rows)
+    assert rows[1].min_val == 1 and rows[10].max_val == 100
+    # buckets tile the domain in order
+    assert all(rows[b].max_val < rows[b + 1].min_val for b in range(1, 10))
+
+
+def test_quantile_bucketize_no_global_sort_window(spark):
+    from supersonic_spark.operators.analytics import quantile_bucketize
+    df = spark.createDataFrame([(i,) for i in range(1000)], "x long")
+    plan = _plan(quantile_bucketize(df, "x", 10))
+    # the whole point vs ntile(): no Window, no global Sort stage
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+# --- TF-IDF ----------------------------------------------------------------
+
+def test_tfidf_unique_term_ranks_first(spark):
+    from supersonic_spark.text.retrieval import tfidf_topk
+    docs = spark.createDataFrame(
+        [(1, "common zebra"),
+         (2, "common common common"),
+         (3, "common other other")],
+        "doc_id long, text string")
+    top = {r.doc_id: r.token
+           for r in tfidf_topk(docs, k=1).collect()}
+    # at equal tf, the doc-unique rare token beats the corpus-wide one
+    assert top[1] == "zebra"
+    assert top[3] == "other"
+
+
+def test_tfidf_df_and_tf_counts(spark):
+    from supersonic_spark.text.retrieval import tfidf_topk
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "doc_id long, text string")
+    rows = {(r.doc_id, r.token): r
+            for r in tfidf_topk(docs, k=5).collect()}
+    assert rows[(1, "a")].tf == 2 and rows[(1, "a")].df_docs == 2
+    assert rows[(1, "b")].tf == 1 and rows[(1, "b")].df_docs == 1
+    assert rows[(2, "c")].df_docs == 1
+
+
+# --- BM25 ------------------------------------------------------------------
+
+def test_bm25_matches_only_and_ranks_by_relevance(spark):
+    from supersonic_spark.text.retrieval import bm25_topk
+    docs = spark.createDataFrame(
+        [(1, "spark spark spark pad pad"),
+         (2, "spark pad pad pad pad"),
+         (3, "pad pad pad pad pad"),
+         (4, "spark hash pad pad pad")],
+        "doc_id long, text string")
+    rows = bm25_topk(docs, ["spark", "hash"], k=10).collect()
+    ids = [r.doc_id for r in rows]
+    assert 3 not in ids                      # no query term -> absent
+    assert ids[0] == 4                       # two distinct terms win
+    scores = {r.doc_id: r.score for r in rows}
+    assert scores[1] > scores[2]             # higher tf, same length
+
+
+def test_bm25_length_normalization(spark):
+    from supersonic_spark.text.retrieval import bm25_topk
+    docs = spark.createDataFrame(
+        [(1, "spark pad"),
+         (2, "spark pad pad pad pad pad pad pad")],
+        "doc_id long, text string")
+    scores = {r.doc_id: r.score
+              for r in bm25_topk(docs, ["spark"], k=10).collect()}
+    assert scores[1] > scores[2]  # same tf, shorter doc scores higher
+
+
+# --- feature hashing -------------------------------------------------------
+
+def test_feature_hash_deterministic_and_bounded(spark):
+    from supersonic_spark.text.retrieval import feature_hash
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "a")], "doc_id long, text string")
+    rows = feature_hash(docs, n_features=64).collect()
+    feats = {(r.doc_id, r.feature): r.cnt for r in rows}
+    assert all(0 <= f < 64 for (_, f) in feats)
+    # same token -> same feature id in every doc; counts aggregate
+    fa1 = [f for (d, f), c in feats.items() if d == 1 and c == 2]
+    fa2 = [f for (d, f), c in feats.items() if d == 2 and c == 1]
+    assert len(fa1) == 1 and fa1 == fa2
+
+
+# --- PageRank --------------------------------------------------------------
+
+def test_pagerank_symmetric_pair_is_uniform(spark):
+    from supersonic_spark.operators.graph import pagerank
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1)], "src long, dst long")
+    rows = {r.id: r.pr_scaled for r in pagerank(edges).collect()}
+    assert rows[1] == pytest.approx(1.0) and rows[2] == pytest.approx(1.0)
+
+
+def test_pagerank_star_center_dominates(spark):
+    from supersonic_spark.operators.graph import pagerank
+    und = [(0, i) for i in (1, 2, 3)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long")
+    rows = {r.id: r.pr_scaled for r in pagerank(edges).collect()}
+    assert rows[0] > rows[1]
+    assert rows[1] == rows[2] == rows[3]
+    # total rank mass is conserved (sums to N after scaling)
+    assert sum(rows.values()) == pytest.approx(4.0, abs=1e-3)
+
+
+# --- salted join -----------------------------------------------------------
+
+def test_salted_join_equals_plain_join_on_skew(spark):
+    from supersonic_spark.operators.core import salted_join
+    # one mega-key (90% of fact rows) + a tail
+    fact = spark.createDataFrame(
+        [(1 if i < 90 else i, i) for i in range(100)], "k long, fid long")
+    dim = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(100)], "k long, label string")
+    got = sorted((r.k, r.fid, r.label) for r in salted_join(
+        fact, dim, ["k"], F.xxhash64("fid"), n_salt=8).collect())
+    want = sorted((r.k, r.fid, r.label)
+                  for r in fact.join(dim, "k").collect())
+    assert got == want
+
+
+def test_salted_join_validates_n_salt(spark):
+    from supersonic_spark.operators.core import salted_join
+    df = spark.createDataFrame([(1, 1)], "k long, v long")
+    with pytest.raises(ValueError):
+        salted_join(df, df, ["k"], F.xxhash64("v"), n_salt=0)
+
+
+def test_salted_join_joins_on_salt(spark):
+    from supersonic_spark.operators.core import salted_join
+    fact = spark.createDataFrame([(1, 1)], "k long, fid long")
+    dim = spark.createDataFrame([(1, "x")], "k long, label string")
+    out = salted_join(fact, dim, ["k"], F.xxhash64("fid"), n_salt=4)
+    plan = _plan(out)
+    assert "_salt" in plan          # the join key actually carries salt
+    assert "_salt" not in out.columns  # and is dropped from the result
