@@ -2548,6 +2548,57 @@ def q_ivfpq_topk_indexed(spark, sf):
                               cents, books, n_probe=4, refine=30)
 
 
+def q_codec_merge(spark, sf):
+    """Full MERGE INTO at bucket grain in ONE rewrite pass: users
+    %10==0 deleted, %10==5 replaced with a synthetic row, five new
+    users inserted — then the evolved layout encodes shuffle-free and
+    decodes. The oracle recomposes the post-merge table in SQL."""
+    import tempfile
+    from supersonic_spark.pipeline import (EncodeConfig, bucketize_table,
+                                           decode_table,
+                                           encode_table_prebucketed,
+                                           merge_bucketized)
+    ev = _t(spark, sf, "events").select("event_id", "ts", "user_id",
+                                        "event_type", "value")
+    bdir = tempfile.mkdtemp(prefix="ss_mrg_bkt_")
+    bucketize_table(spark, ev, bdir, n_buckets=4, conv_key="user_id")
+    dels = (ev.filter(F.col("user_id") % 10 == 0)
+              .select("user_id").distinct()
+              .select(F.lit(None).cast("long").alias("event_id"),
+                      F.lit(None).cast("timestamp").alias("ts"),
+                      "user_id",
+                      F.lit(None).cast("string").alias("event_type"),
+                      F.lit(None).cast("double").alias("value"),
+                      F.lit("delete").alias("_op")))
+    reps = (ev.filter(F.col("user_id") % 10 == 5)
+              .select("user_id").distinct()
+              .select((F.col("user_id") * 1000000).alias("event_id"),
+                      F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+                       .alias("ts"),
+                      "user_id",
+                      F.lit("replaced").alias("event_type"),
+                      F.lit(1.0).alias("value"),
+                      F.lit("upsert").alias("_op")))
+    ins = spark.range(5).select(
+        (F.lit(9000000) + F.col("id")).alias("event_id"),
+        F.to_timestamp(F.lit("2024-01-02 00:00:00")).alias("ts"),
+        (F.lit(100000) + F.col("id")).alias("user_id"),
+        F.lit("inserted").alias("event_type"),
+        F.lit(2.0).alias("value"),
+        F.lit("upsert").alias("_op"))
+    merge_bucketized(spark, dels.unionByName(reps).unionByName(ins),
+                     bdir)
+    out = tempfile.mkdtemp(prefix="ss_mrg_enc_")
+    cfg = EncodeConfig(chunk_rows=1024, conv_key="user_id",
+                       order_key="event_id",
+                       sort_keys=("user_id", "event_id"))
+    encode_table_prebucketed(spark, bdir, out, cfg,
+                             fingerprint="mrg-gate")
+    dec = decode_table(spark, out,
+                       columns=["event_id", "user_id", "event_type"])
+    return dec.select("event_id", "user_id", "event_type")
+
+
 def q_zscore_anomaly(spark, sf):
     """Per-type standardization + outlier flag: z = (value - mean)/
     stddev_pop within the event_type, flag at |z| > 1.5 (decided on the
@@ -2905,6 +2956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_interpolate": q_resample_interpolate,
         "pagerank": q_pagerank,
         "skew_join_salted": q_skew_join_salted,
+        "codec_merge": q_codec_merge,
     }
 
 

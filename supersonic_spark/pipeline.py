@@ -934,6 +934,100 @@ def delete_bucketized(spark: SparkSession, keys: DataFrame,
     return affected
 
 
+def merge_bucketized(spark: SparkSession, changes: DataFrame,
+                     bucket_dir: str, op_col: str = "_op") -> list[int]:
+    """Full MERGE INTO at bucket-file grain, one rewrite pass: `changes`
+    carries the table columns plus an op column with value 'upsert'
+    (replace the whole conversation, or insert it if absent) or
+    'delete' (remove the whole conversation; its other columns are
+    ignored). Returns the affected bucket ids.
+
+    Semantically MERGE WHEN MATCHED [UPDATE|DELETE] / WHEN NOT MATCHED
+    INSERT, specialized to whole-conversation grain — the natural merge
+    unit for a transcript table, where 'update' means 'the conversation
+    continued / was redacted' and arrives as its full new row set.
+
+    Why one pass instead of delete_bucketized + upsert_bucketized:
+    a bucket receiving both ops would be rewritten twice (two Spark
+    jobs, two file replacements); here every affected bucket file is
+    read once, merged once, installed once (tmp + rename, same
+    atomicity as compaction). Routing is the shared pmod(murmur3, n)
+    invariant; emptied buckets keep an empty schema file so positional
+    bucket ids stay stable (the delete_bucketized lesson); only
+    affected buckets are touched so a k-conversation merge costs O(k
+    bucket files) at 10^12-turn scale, and the following
+    encode_table_prebucketed run re-encodes only those files.
+    """
+    import re as _re
+    import uuid as _uuid
+    import pyarrow.parquet as pq
+    ops = [r[0] for r in changes.select(op_col).distinct().collect()]
+    bad = set(ops) - {"upsert", "delete"}
+    if bad:
+        raise ValueError(f"unknown merge op(s) {sorted(bad)}; "
+                         "expected 'upsert' or 'delete'")
+    with open(os.path.join(bucket_dir, "_buckets.json")) as f:
+        bmeta = json.load(f)
+    n, conv_key = bmeta["n_buckets"], bmeta["conv_key"]
+    ktype = spark.read.parquet(bucket_dir).schema[conv_key].dataType
+    changes = changes.withColumn(conv_key, F.col(conv_key).cast(ktype))
+    upserts = changes.filter(F.col(op_col) == "upsert").drop(op_col)
+    del_keys = (changes.filter(F.col(op_col) == "delete")
+                       .select(conv_key).distinct())
+    bid = F.pmod(F.hash(F.col(conv_key)), F.lit(n))
+    by_num: dict[int, str] = {}
+    for p in os.listdir(bucket_dir):
+        m = _re.match(r"part-(\d{5})-.*\.parquet$", p)
+        if m:
+            by_num[int(m.group(1))] = os.path.join(bucket_dir, p)
+    ups_buckets = {r["b"] for r in
+                   upserts.select(bid.alias("b")).distinct().collect()}
+    # delete-only buckets matter only if they exist on disk
+    del_buckets = {r["b"] for r in
+                   del_keys.select(bid.alias("b")).distinct().collect()
+                   if r["b"] in by_num}
+    affected = sorted(ups_buckets | del_buckets)
+    if not affected:
+        return []
+    old_files = [by_num[b] for b in affected if b in by_num]
+    touched_keys = (upserts.select(conv_key).unionByName(del_keys)
+                           .distinct())
+    base = (spark.read.parquet(*old_files)
+            if old_files else upserts.limit(0))
+    merged = (base.join(F.broadcast(touched_keys), conv_key, "left_anti")
+                  .unionByName(upserts.select(*base.columns)))
+    tmp = os.path.join(bucket_dir, f"_merge_tmp_{_uuid.uuid4().hex[:8]}")
+    # same repartition -> partition i == bucket i == tmp part-{i:05d}
+    merged.repartition(n, F.col(conv_key)).write.parquet(tmp)
+    by_tmp: dict[int, str] = {}
+    for p in os.listdir(tmp):
+        m = _re.match(r"part-(\d{5})-.*\.parquet$", p)
+        if m:
+            by_tmp[int(m.group(1))] = os.path.join(tmp, p)
+    stamp = _uuid.uuid4().hex[:8]
+    for b in affected:
+        new = os.path.join(bucket_dir, f"part-{b:05d}-mrg{stamp}.parquet")
+        tf = by_tmp.get(b)
+        has_rows = (tf is not None
+                    and pq.ParquetFile(tf).metadata.num_rows > 0)
+        if has_rows:
+            os.replace(tf, new)
+        elif b in by_num:
+            # bucket fully deleted: keep an empty schema file so
+            # positional bucket ids stay stable
+            pq.write_table(pq.read_schema(by_num[b]).empty_table(), new)
+        else:
+            # never existed and ends empty (delete of an absent key
+            # routed here alongside an upsert elsewhere): nothing to do
+            continue
+        old = by_num.get(b)
+        if old and os.path.exists(old):
+            os.remove(old)
+    import shutil
+    shutil.rmtree(tmp, ignore_errors=True)
+    return affected
+
+
 def rebucket_table(spark: SparkSession, bucket_dir: str, dest_dir: str,
                    factor: int = 2) -> str:
     """Partition evolution WITHOUT a shuffle: scale a bucketize_table

@@ -2279,3 +2279,16 @@ SELECT l.l_orderkey, l.l_linenumber, o.o_orderstatus,
        CAST(round(o.o_totalprice*100, 0) AS BIGINT) AS totalprice_cents
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 """
+
+# MERGE gate: the oracle recomposes the post-merge table — deletes
+# removed, replaced users collapsed to their synthetic row, inserts
+# appended
+ORACLES["codec_merge"] = """
+SELECT event_id, user_id, event_type FROM events
+WHERE user_id % 10 NOT IN (0, 5)
+UNION ALL
+SELECT user_id * 1000000, user_id, 'replaced'
+FROM (SELECT DISTINCT user_id FROM events WHERE user_id % 10 = 5)
+UNION ALL
+SELECT 9000000 + i, 100000 + i, 'inserted' FROM range(0, 5) t(i)
+"""

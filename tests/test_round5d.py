@@ -240,3 +240,100 @@ def test_salted_join_joins_on_salt(spark):
     plan = _plan(out)
     assert "_salt" in plan          # the join key actually carries salt
     assert "_salt" not in out.columns  # and is dropped from the result
+
+
+# --- merge_bucketized ------------------------------------------------------
+
+def _mk_bucketized(spark, tmp_path, rows, n_buckets=2):
+    from supersonic_spark.pipeline import bucketize_table
+    df = spark.createDataFrame(rows, "conv_id long, turn_idx long, v string")
+    d = str(tmp_path / "bkt")
+    bucketize_table(spark, df, d, n_buckets=n_buckets, conv_key="conv_id")
+    return d
+
+
+def _read_sorted(spark, d):
+    return sorted((r.conv_id, r.turn_idx, r.v)
+                  for r in spark.read.parquet(d).collect())
+
+
+def test_merge_both_ops_one_pass(spark, tmp_path):
+    from supersonic_spark.pipeline import merge_bucketized
+    d = _mk_bucketized(spark, tmp_path,
+                       [(1, 0, "a"), (1, 1, "b"), (2, 0, "c"), (3, 0, "d")],
+                       n_buckets=1)  # everything in one bucket: both ops
+    changes = spark.createDataFrame(
+        [(1, None, None, "delete"),          # delete conv 1
+         (2, 0, "C2", "upsert"),             # replace conv 2
+         (9, 0, "new", "upsert")],           # insert conv 9
+        "conv_id long, turn_idx long, v string, _op string")
+    affected = merge_bucketized(spark, changes, d)
+    assert affected == [0]
+    assert _read_sorted(spark, d) == [(2, 0, "C2"), (3, 0, "d"),
+                                      (9, 0, "new")]
+
+
+def test_merge_untouched_buckets_not_rewritten(spark, tmp_path):
+    import os
+    from pyspark.sql import functions as F
+    from supersonic_spark.pipeline import merge_bucketized
+    rows = [(c, 0, f"v{c}") for c in range(40)]
+    d = _mk_bucketized(spark, tmp_path, rows, n_buckets=8)
+    before = set(os.listdir(d))
+    # one conv -> exactly one bucket affected
+    changes = spark.createDataFrame([(7, 0, "V7", "upsert")],
+                                    "conv_id long, turn_idx long, "
+                                    "v string, _op string")
+    affected = merge_bucketized(spark, changes, d)
+    assert len(affected) == 1
+    after = set(os.listdir(d))
+    # exactly one part file replaced; the other 7 byte-untouched
+    assert len(before - after) == 1 and len(after - before) == 1
+    got = _read_sorted(spark, d)
+    assert (7, 0, "V7") in got and (7, 0, "v7") not in got
+    assert len(got) == 40
+
+
+def test_merge_emptied_bucket_keeps_positional_file(spark, tmp_path):
+    from supersonic_spark.pipeline import merge_bucketized
+    # n_buckets=2: delete every conv in one bucket
+    rows = [(c, 0, f"v{c}") for c in range(10)]
+    d = _mk_bucketized(spark, tmp_path, rows, n_buckets=2)
+    from pyspark.sql import functions as F
+    df = spark.read.parquet(d)
+    b0 = [r.conv_id for r in
+          df.select("conv_id")
+            .filter(F.pmod(F.hash("conv_id"), F.lit(2)) == 0).collect()]
+    changes = spark.createDataFrame(
+        [(c, None, None, "delete") for c in b0],
+        "conv_id long, turn_idx long, v string, _op string")
+    merge_bucketized(spark, changes, d)
+    import os
+    import re
+    parts = sorted(p for p in os.listdir(d)
+                   if re.match(r"part-\d{5}-", p))
+    assert len(parts) == 2  # empty bucket file survives positionally
+    got = _read_sorted(spark, d)
+    assert len(got) == 10 - len(b0)
+    assert all(c not in b0 for c, _, _ in got)
+
+
+def test_merge_rejects_unknown_op(spark, tmp_path):
+    from supersonic_spark.pipeline import merge_bucketized
+    d = _mk_bucketized(spark, tmp_path, [(1, 0, "a")])
+    changes = spark.createDataFrame(
+        [(1, 0, "x", "update")],
+        "conv_id long, turn_idx long, v string, _op string")
+    with pytest.raises(ValueError, match="unknown merge op"):
+        merge_bucketized(spark, changes, d)
+
+
+def test_merge_delete_of_absent_key_is_noop(spark, tmp_path):
+    from supersonic_spark.pipeline import merge_bucketized
+    d = _mk_bucketized(spark, tmp_path, [(1, 0, "a"), (2, 0, "b")])
+    changes = spark.createDataFrame(
+        [(999, None, None, "delete")],
+        "conv_id long, turn_idx long, v string, _op string")
+    before = _read_sorted(spark, d)
+    merge_bucketized(spark, changes, d)
+    assert _read_sorted(spark, d) == before
