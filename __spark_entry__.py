@@ -2548,6 +2548,18 @@ def q_ivfpq_topk_indexed(spark, sf):
                               cents, books, n_probe=4, refine=30)
 
 
+def q_sketch_hll_distinct(spark, sf):
+    """HyperLogLog distinct-count per group (m=256 registers): the
+    register arithmetic (bucket = h % m, rho via length(bin(h div m)) —
+    exact string-length, never float log2) is engine-portable on the
+    md5 hash, so the oracle replays the identical sketch and matches
+    the estimate to 4 decimals. Shuffle carries <= m rows per group."""
+    from supersonic_spark.functions.sketches import hll_distinct
+    li = _t(spark, sf, "lineitem")
+    return hll_distinct(li, "l_partkey", group_cols=("l_returnflag",),
+                        b=8)
+
+
 def q_codec_merge(spark, sf):
     """Full MERGE INTO at bucket grain in ONE rewrite pass: users
     %10==0 deleted, %10==5 replaced with a synthetic row, five new
@@ -2957,6 +2969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "skew_join_salted": q_skew_join_salted,
         "codec_merge": q_codec_merge,
+        "sketch_hll_distinct": q_sketch_hll_distinct,
     }
 
 

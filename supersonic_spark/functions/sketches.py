@@ -231,3 +231,79 @@ def dd_quantiles(df: DataFrame, col: str, qs: tuple[float, ...],
             F.round(F.lit(2.0) * F.pow(F.lit(float(gamma)), F.col("_b_" + label(q)))
                     / F.lit(float(gamma) + 1.0), 4)).drop("_b_" + label(q))
     return est
+
+
+# --- HyperLogLog -----------------------------------------------------------
+# (Flajolet et al. 2007). Unlike KMV's value list, the state is a fixed
+# m-register table -- the sketch every engine can merge by pairwise MAX.
+# Built entirely from codegen expressions on the portable md5 hash, so a
+# SQL engine can replay the arithmetic bit-for-bit: bucket = h % m,
+# rho = leading-zero rank of h div m computed via length(bin(x)) --
+# string length, not floating log2, which rounds wrong near powers of
+# two. portable_hash64 carries 60 hash bits (15 hex chars of md5).
+
+_HLL_HASH_BITS = 60
+
+
+def _hll_alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(df: DataFrame, col: str,
+                  group_cols: tuple[str, ...] = (),
+                  b: int = 8) -> DataFrame:
+    """Mergeable HLL state: (group..., bucket, mj) with mj = max rho
+    per register. One m-bounded shuffle per group (partial MAX combines
+    map-side); merging sketches from different tables/partitions is
+    GROUP BY bucket MAX(mj) again -- exercised in pytest."""
+    from supersonic_spark.text.analysis import portable_hash64
+    if not (4 <= b <= 16):
+        raise ValueError("b must be in [4, 16]")
+    m = 1 << b
+    rest_bits = _HLL_HASH_BITS - b
+    h = portable_hash64(F.col(col).cast("string"))
+    hashed = df.select(*group_cols, h.alias("_hv"))
+    rest = F.expr(f"_hv div {m}")
+    rho = (F.when(rest == 0, F.lit(rest_bits + 1))
+            .otherwise(F.lit(rest_bits + 1) - F.length(F.bin(rest))))
+    return (hashed.withColumn("bucket",
+                              F.pmod(F.col("_hv"), F.lit(m)).cast("int"))
+                  .withColumn("rho", rho.cast("int"))
+                  .groupBy(*group_cols, "bucket")
+                  .agg(F.max("rho").alias("mj")))
+
+
+def hll_estimate(registers: DataFrame,
+                 group_cols: tuple[str, ...] = (),
+                 b: int = 8) -> DataFrame:
+    """Distinct-count estimate from an HLL register table: the raw
+    harmonic-mean estimator with the standard small-range (linear
+    counting) correction; empty registers contribute 2^0 each. Adds
+    ``est_distinct`` (rounded to 4)."""
+    m = 1 << b
+    alpha = _hll_alpha(m)
+    agg = registers.groupBy(*group_cols).agg(
+        F.count("*").alias("_nz"),
+        F.sum(F.pow(F.lit(2.0), -F.col("mj"))).alias("_s"))
+    raw = (F.lit(alpha * m * m)
+           / (F.col("_s") + (F.lit(m) - F.col("_nz"))))
+    linear = F.lit(float(m)) * F.log(F.lit(float(m))
+                                     / (F.lit(m) - F.col("_nz")))
+    est = F.when((raw <= F.lit(2.5 * m)) & (F.col("_nz") < m), linear) \
+           .otherwise(raw)
+    return agg.select(*group_cols, F.round(est, 4).alias("est_distinct"))
+
+
+def hll_distinct(df: DataFrame, col: str,
+                 group_cols: tuple[str, ...] = (),
+                 b: int = 8) -> DataFrame:
+    """Per-group approximate distinct count via HLL (b register bits,
+    m = 2^b registers; standard error ~1.04/sqrt(m))."""
+    return hll_estimate(hll_registers(df, col, group_cols, b),
+                        group_cols, b)

@@ -2292,3 +2292,36 @@ FROM (SELECT DISTINCT user_id FROM events WHERE user_id % 10 = 5)
 UNION ALL
 SELECT 9000000 + i, 100000 + i, 'inserted' FROM range(0, 5) t(i)
 """
+
+
+def _hll_oracle() -> str:
+    """SQL replay of the HLL sketch with the engine's exact pinned
+    constants (repr of the same Python-computed doubles — the DDSketch
+    divisor trick), so the estimate matches to 4 decimals."""
+    from supersonic_spark.functions.sketches import _hll_alpha
+    b, hash_bits = 8, 60
+    m = 1 << b
+    rb1 = hash_bits - b + 1
+    amm = repr(_hll_alpha(m) * m * m)
+    h = _H.format(x="CAST(l_partkey AS VARCHAR)")
+    return f"""
+WITH h AS (
+  SELECT l_returnflag AS g, {h} AS hv FROM lineitem),
+r AS (
+  SELECT g, CAST(hv % {m} AS INTEGER) AS bucket,
+         CASE WHEN hv // {m} = 0 THEN {rb1}
+              ELSE {rb1} - length(bin(hv // {m})) END AS rho
+  FROM h),
+regs AS (SELECT g, bucket, max(rho) AS mj FROM r GROUP BY 1, 2),
+agg AS (SELECT g, count(*) AS nz, SUM(pow(2.0e0, -mj)) AS s
+        FROM regs GROUP BY 1)
+SELECT g AS l_returnflag,
+       round(CASE WHEN {amm} / (s + ({m} - nz)) <= {2.5 * m!r}
+                   AND nz < {m}
+                  THEN {float(m)!r} * ln({float(m)!r} / ({m} - nz))
+                  ELSE {amm} / (s + ({m} - nz)) END, 4) AS est_distinct
+FROM agg
+"""
+
+
+ORACLES["sketch_hll_distinct"] = _hll_oracle()

@@ -337,3 +337,57 @@ def test_merge_delete_of_absent_key_is_noop(spark, tmp_path):
     before = _read_sorted(spark, d)
     merge_bucketized(spark, changes, d)
     assert _read_sorted(spark, d) == before
+
+
+# --- HyperLogLog -----------------------------------------------------------
+
+def test_hll_accuracy_within_error_bound(spark):
+    from supersonic_spark.functions.sketches import hll_distinct
+    n = 20000
+    df = spark.range(n).select(F.col("id").alias("v"))
+    est = hll_distinct(df, "v", b=8).collect()[0].est_distinct
+    # standard error 1.04/sqrt(256) = 6.5%; allow 4 sigma
+    assert abs(est - n) / n < 0.26
+
+
+def test_hll_small_range_linear_counting_is_tight(spark):
+    from supersonic_spark.functions.sketches import hll_distinct
+    df = spark.range(30).select(F.col("id").alias("v"))
+    est = hll_distinct(df, "v", b=8).collect()[0].est_distinct
+    # linear counting regime: very tight at n << m
+    assert abs(est - 30) <= 3
+
+
+def test_hll_registers_merge_by_max(spark):
+    from supersonic_spark.functions.sketches import (hll_estimate,
+                                                     hll_registers)
+    a = spark.range(0, 5000).select(F.col("id").alias("v"))
+    b_ = spark.range(2500, 7500).select(F.col("id").alias("v"))
+    both = a.unionAll(b_)
+    direct = hll_registers(both, "v").collect()
+    merged = (hll_registers(a, "v").unionAll(hll_registers(b_, "v"))
+              .groupBy("bucket").agg(F.max("mj").alias("mj")).collect())
+    assert sorted((r.bucket, r.mj) for r in direct) == \
+           sorted((r.bucket, r.mj) for r in merged)
+    # and therefore identical estimates
+    e1 = hll_estimate(hll_registers(both, "v")).collect()[0].est_distinct
+    reg = (hll_registers(a, "v").unionAll(hll_registers(b_, "v"))
+           .groupBy("bucket").agg(F.max("mj").alias("mj")))
+    e2 = hll_estimate(reg).collect()[0].est_distinct
+    assert e1 == e2
+
+
+def test_hll_insensitive_to_duplication_and_partitioning(spark):
+    from supersonic_spark.functions.sketches import hll_distinct
+    df = spark.range(1000).select(F.col("id").alias("v"))
+    dup = df.unionAll(df).unionAll(df).repartition(13)
+    e1 = hll_distinct(df, "v", b=8).collect()[0].est_distinct
+    e2 = hll_distinct(dup, "v", b=8).collect()[0].est_distinct
+    assert e1 == e2
+
+
+def test_hll_validates_b(spark):
+    from supersonic_spark.functions.sketches import hll_registers
+    df = spark.range(10).select(F.col("id").alias("v"))
+    with pytest.raises(ValueError):
+        hll_registers(df, "v", b=2)
