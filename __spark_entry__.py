@@ -2548,6 +2548,62 @@ def q_ivfpq_topk_indexed(spark, sf):
                               cents, books, n_probe=4, refine=30)
 
 
+def q_cooccurrence_pmi(spark, sf):
+    """Co-occurrence association statistics (the skip-gram/word2vec
+    prep shape): within-order part pairs scored by pointwise mutual
+    information ln(n*c(u,v)/(c(u)*c(v))). Pairs generated by the
+    ordered self-join (u<v, bounded by per-order item count); marginals
+    are O(vocabulary) aggs broadcast back — rounded to 4."""
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("v"))
+    pairs = (a.join(b, "o").filter(F.col("u") < F.col("v"))
+              .groupBy("u", "v").agg(F.count("*").alias("c_uv")))
+    marg = li.groupBy(F.col("l_partkey").alias("k")) \
+             .agg(F.count("*").alias("c_k"))
+    n = li.agg(F.count("*").alias("_n"))
+    pmi = F.log((F.col("_n") * F.col("c_uv"))
+                / (F.col("c_u") * F.col("c_v")))
+    return (pairs
+            .join(F.broadcast(marg.select(F.col("k").alias("u"),
+                                          F.col("c_k").alias("c_u"))),
+                  "u")
+            .join(F.broadcast(marg.select(F.col("k").alias("v"),
+                                          F.col("c_k").alias("c_v"))),
+                  "v")
+            .crossJoin(F.broadcast(n))
+            .filter(F.col("c_uv") >= 2)
+            .select("u", "v", "c_uv",
+                    F.round(pmi, 4).alias("pmi")))
+
+
+def q_bigram_lm(spark, sf):
+    """Language-model n-gram statistics over the corpus: token bigram
+    counts and the conditional probability P(w2|w1) = c(w1,w2)/c(w1)
+    (integer-ratio, engine-exact). Bigrams come from a per-doc lag
+    window — one doc-keyed shuffle, then vocabulary-bounded aggs."""
+    from pyspark.sql import Window
+    d = _t(spark, sf, "documents")
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " "))
+         .alias("pos", "w"))
+    tok = tok.filter(F.col("w") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (tok.withColumn("w2", F.lead("w").over(w))
+             .filter(F.col("w2").isNotNull())
+             .groupBy(F.col("w").alias("w1"), "w2")
+             .agg(F.count("*").alias("c_bg")))
+    uni = (bg.groupBy("w1").agg(F.sum("c_bg").alias("c_w1")))
+    return (bg.join(F.broadcast(uni), "w1")
+              .filter(F.col("c_bg") >= 5)
+              .select("w1", "w2", "c_bg", "c_w1",
+                      F.round(F.col("c_bg") / F.col("c_w1"), 4)
+                       .alias("p_cond")))
+
+
 def q_sketch_hll_distinct(spark, sf):
     """HyperLogLog distinct-count per group (m=256 registers): the
     register arithmetic (bucket = h % m, rho via length(bin(h div m)) —
@@ -2970,6 +3026,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_join_salted": q_skew_join_salted,
         "codec_merge": q_codec_merge,
         "sketch_hll_distinct": q_sketch_hll_distinct,
+        "cooccurrence_pmi": q_cooccurrence_pmi,
+        "bigram_lm": q_bigram_lm,
     }
 
 

@@ -2325,3 +2325,43 @@ FROM agg
 
 
 ORACLES["sketch_hll_distinct"] = _hll_oracle()
+
+ORACLES["cooccurrence_pmi"] = """
+WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS c_uv
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey GROUP BY 1, 2),
+marg AS (SELECT l_partkey AS k, count(*) AS c_k FROM li GROUP BY 1),
+nn AS (SELECT count(*) AS n FROM li)
+SELECT p.u, p.v, p.c_uv,
+       round(ln((nn.n * p.c_uv) / (mu.c_k * mv.c_k)), 4) AS pmi
+FROM pairs p
+JOIN marg mu ON mu.k = p.u
+JOIN marg mv ON mv.k = p.v, nn
+WHERE p.c_uv >= 2
+"""
+
+# posexplode twin: struct_pack-in-lambda + generate_series (the
+# paragraph_dedup idiom); empties filtered BEFORE the window on both
+# sides so lead() crosses them identically
+ORACLES["bigram_lm"] = """
+WITH tok AS (
+  SELECT doc_id, u.pos AS pos, u.w AS w FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(p)),
+                  i -> struct_pack(pos := i-1, w := p[i]))) AS u
+    FROM (SELECT doc_id, string_split(text, ' ') AS p FROM documents))
+  WHERE u.w <> ''),
+bg AS (
+  SELECT w AS w1,
+         lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM tok),
+cnt AS (SELECT w1, w2, count(*) AS c_bg FROM bg
+        WHERE w2 IS NOT NULL GROUP BY 1, 2),
+uni AS (SELECT w1, CAST(SUM(c_bg) AS BIGINT) AS c_w1 FROM cnt GROUP BY 1)
+SELECT c.w1, c.w2, c.c_bg, u.c_w1,
+       round(c.c_bg / u.c_w1, 4) AS p_cond
+FROM cnt c JOIN uni u USING (w1)
+WHERE c.c_bg >= 5
+"""
