@@ -62,6 +62,11 @@ def main():
     # zero visible external load — see CLAUDE.md / VERDICT r4)
     ext_before = external_busy_cores()
     probe_before = cpu_probe_sec()
+    # parallel memory-bandwidth probe: the round-5 throttle mode passed
+    # the single-thread probe at BOTH ends of a uniformly ~2.5x-slow run
+    # — only multi-process bandwidth-bound work sees it
+    from supersonic_spark.runtime import membw_probe_sec
+    membw_before = membw_probe_sec()
     calm = (probe_before <= _CPU_PROBE_CALM_FACTOR * _CPU_PROBE_REF_SEC
             and ext_before < 4.0)
 
@@ -161,6 +166,7 @@ def main():
     total = round(sum(query_secs.values()), 3)
     ext_after = external_busy_cores()
     probe_after = cpu_probe_sec()
+    membw_after = membw_probe_sec()
     calm = (calm and probe_after <= _CPU_PROBE_CALM_FACTOR
             * _CPU_PROBE_REF_SEC)
 
@@ -209,6 +215,8 @@ def main():
         "cpu_probe_sec": probe_before,
         "cpu_probe_after_sec": probe_after,
         "cpu_probe_ref_sec": _CPU_PROBE_REF_SEC,
+        "membw_probe_sec": membw_before,
+        "membw_probe_after_sec": membw_after,
         "calm": calm,
         "scaling": scaling,
         "ann_kernel": ann_kernel,

@@ -83,3 +83,42 @@ def cpu_probe_sec(iters: int = 5) -> float:
         float(s[0])
         best = min(best, time.perf_counter() - t0)
     return round(best, 4)
+
+
+MEMBW_PROBE_REF_SEC = None  # calibrated below; see BENCH/BASELINE.md
+"""Parallel memory-bandwidth probe reference (8 procs). The box's
+throttle windows can pass the SINGLE-thread probe while parallel
+memory-bound work runs 2-4x slow (observed round 5: probe calm, every
+bench query uniformly ~2.5x the calm record) — only a multi-process
+bandwidth-bound probe catches that mode."""
+
+
+def membw_probe_sec(nproc: int = 8) -> float:
+    """Fixed parallel memory-bound workload: `nproc` processes each
+    stream-reduce a 160 MB array twice. Returns wall seconds for the
+    slowest process (bandwidth contention shows up as a longer tail).
+    Compare against MEMBW_PROBE_REF_SEC (when calibrated) to flag the
+    parallel-throttle mode the single-thread probe cannot see."""
+    import multiprocessing as mp
+    import time
+
+    def work(q):
+        import numpy as np
+        x = np.arange(20_000_000, dtype=np.float64)
+        t0 = time.perf_counter()
+        s = 0.0
+        for _ in range(2):
+            s += float(x.sum())
+        q.put(time.perf_counter() - t0)
+
+    ctx = mp.get_context("fork")
+    q = ctx.Queue()
+    procs = [ctx.Process(target=work, args=(q,)) for _ in range(nproc)]
+    t0 = time.perf_counter()
+    for p in procs:
+        p.start()
+    times = [q.get() for _ in procs]
+    for p in procs:
+        p.join()
+    del t0
+    return round(max(times), 4)

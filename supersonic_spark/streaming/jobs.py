@@ -262,3 +262,48 @@ def interval_join(left: DataFrame, right: DataFrame,
     out = lw.join(rw, cond, how)
     return out.drop(rw[right_key]) if right_key == left_key else \
         out.drop(right_key)
+
+
+def merge_stream_sink(changes: DataFrame, bucket_dir: str,
+                      op_col: str = "_op",
+                      checkpoint: str | None = None):
+    """Streaming MERGE sink: each micro-batch of tagged change rows
+    ('upsert'/'delete' in `op_col`, see pipeline.merge_bucketized) is
+    applied to the bucketized layout via foreachBatch — the CDC-apply
+    path that keeps a 10^12-turn transcript table current from a change
+    stream, touching only the bucket files each batch's conversations
+    hash into.
+
+    CONTRACT: every micro-batch must carry each upserted conversation
+    COMPLETE — merge_bucketized replaces a conversation wholesale per
+    call, so a conversation fragmented across batches would end up
+    holding only its last fragment (observed: a mega-conversation split
+    over 3 file-source batches silently lost 2/3 of its turns).
+    Partition the change feed by conversation (e.g.
+    ``df.repartition(n, "conv_id")`` before writing change files, or a
+    conv-keyed Kafka topic) so batch boundaries align with
+    conversations.
+
+    Replay-safe under at-least-once foreachBatch semantics: applying
+    the same batch twice is a no-op (upsert replaces with identical
+    rows, delete of absent keys does nothing), so a post-failure batch
+    replay converges to the same table. Returns the started
+    StreamingQuery (caller controls trigger/termination).
+
+    Scale: per micro-batch cost is O(touched bucket files), so
+    steady-state maintenance tracks the change rate, not table size;
+    the following encode_table_prebucketed run re-encodes only the
+    rewritten files (per-file fingerprints).
+    """
+    from supersonic_spark.pipeline import merge_bucketized
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_bucketized(batch_df.sparkSession, batch_df, bucket_dir,
+                         op_col)
+
+    w = changes.writeStream.foreachBatch(_apply)
+    if checkpoint is not None:
+        w = w.option("checkpointLocation", checkpoint)
+    return w

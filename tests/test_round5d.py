@@ -391,3 +391,86 @@ def test_hll_validates_b(spark):
     df = spark.range(10).select(F.col("id").alias("v"))
     with pytest.raises(ValueError):
         hll_registers(df, "v", b=2)
+
+
+# --- streaming MERGE sink --------------------------------------------------
+
+def test_merge_stream_sink_applies_microbatches(spark, tmp_path):
+    from supersonic_spark.pipeline import bucketize_table
+    from supersonic_spark.streaming.jobs import merge_stream_sink
+    base = [(c, 0, f"v{c}") for c in range(20)]
+    d = str(tmp_path / "bkt")
+    bucketize_table(spark,
+                    spark.createDataFrame(
+                        base, "conv_id long, turn_idx long, v string"),
+                    d, n_buckets=4, conv_key="conv_id")
+    # change files (disjoint keys so micro-batch order is irrelevant):
+    # delete 0..4, replace 10..12, insert 100..101
+    src = str(tmp_path / "changes")
+    ch = ([(c, None, None, "delete") for c in range(5)]
+          + [(c, 0, f"UP{c}", "upsert") for c in (10, 11, 12)]
+          + [(c, 0, "new", "upsert") for c in (100, 101)])
+    spark.createDataFrame(
+        ch, "conv_id long, turn_idx long, v string, _op string") \
+        .repartition(3).write.parquet(src)
+    stream = (spark.readStream
+              .schema("conv_id long, turn_idx long, v string, _op string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = merge_stream_sink(stream, d,
+                          checkpoint=str(tmp_path / "ckpt")) \
+        .trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    got = {(r.conv_id): r.v for r in spark.read.parquet(d).collect()}
+    assert all(c not in got for c in range(5))
+    assert all(got[c] == f"UP{c}" for c in (10, 11, 12))
+    assert got[100] == "new" and got[101] == "new"
+    assert len(got) == 20 - 5 + 2
+
+
+def test_merge_stream_sink_replay_is_idempotent(spark, tmp_path):
+    from supersonic_spark.pipeline import bucketize_table, merge_bucketized
+    d = str(tmp_path / "bkt")
+    bucketize_table(spark,
+                    spark.createDataFrame(
+                        [(1, 0, "a"), (2, 0, "b")],
+                        "conv_id long, turn_idx long, v string"),
+                    d, n_buckets=2, conv_key="conv_id")
+    ch = spark.createDataFrame(
+        [(1, None, None, "delete"), (2, 0, "B", "upsert")],
+        "conv_id long, turn_idx long, v string, _op string")
+    merge_bucketized(spark, ch, d)   # the batch
+    once = sorted((r.conv_id, r.v)
+                  for r in spark.read.parquet(d).collect())
+    merge_bucketized(spark, ch, d)   # its at-least-once replay
+    twice = sorted((r.conv_id, r.v)
+                   for r in spark.read.parquet(d).collect())
+    assert once == twice == [(2, "B")]
+
+
+def test_merge_stream_sink_whole_conversations_per_batch(spark, tmp_path):
+    # the sink contract: multi-row conversations survive when change
+    # files are conversation-aligned (repartition by conv_id)
+    from supersonic_spark.pipeline import bucketize_table
+    from supersonic_spark.streaming.jobs import merge_stream_sink
+    d = str(tmp_path / "bkt")
+    bucketize_table(spark,
+                    spark.createDataFrame(
+                        [(1, 0, "a"), (2, 0, "b")],
+                        "conv_id long, turn_idx long, v string"),
+                    d, n_buckets=2, conv_key="conv_id")
+    # conv 1 replaced by a 5-turn conversation
+    ch = [(1, t, f"T{t}", "upsert") for t in range(5)]
+    src = str(tmp_path / "chg")
+    spark.createDataFrame(
+        ch, "conv_id long, turn_idx long, v string, _op string") \
+        .repartition(2, "conv_id").write.parquet(src)
+    stream = (spark.readStream
+              .schema("conv_id long, turn_idx long, v string, _op string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = merge_stream_sink(stream, d,
+                          checkpoint=str(tmp_path / "ck")) \
+        .trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    got = sorted((r.conv_id, r.turn_idx, r.v)
+                 for r in spark.read.parquet(d).collect())
+    assert got == [(1, t, f"T{t}") for t in range(5)] + [(2, 0, "b")]
