@@ -65,9 +65,13 @@ def main():
     # parallel memory-bandwidth probe: the round-5 throttle mode passed
     # the single-thread probe at BOTH ends of a uniformly ~2.5x-slow run
     # — only multi-process bandwidth-bound work sees it
-    from supersonic_spark.runtime import membw_probe_sec
+    from supersonic_spark.runtime import (MEMBW_PROBE_CALM_FACTOR,
+                                          MEMBW_PROBE_REF_SEC,
+                                          membw_probe_sec)
     membw_before = membw_probe_sec()
     calm = (probe_before <= _CPU_PROBE_CALM_FACTOR * _CPU_PROBE_REF_SEC
+            and membw_before <= MEMBW_PROBE_CALM_FACTOR
+            * MEMBW_PROBE_REF_SEC
             and ext_before < 4.0)
 
     from supersonic_spark.session import get_spark
@@ -168,7 +172,9 @@ def main():
     probe_after = cpu_probe_sec()
     membw_after = membw_probe_sec()
     calm = (calm and probe_after <= _CPU_PROBE_CALM_FACTOR
-            * _CPU_PROBE_REF_SEC)
+            * _CPU_PROBE_REF_SEC
+            and membw_after <= MEMBW_PROBE_CALM_FACTOR
+            * MEMBW_PROBE_REF_SEC)
 
     def _recorded(path):
         """Load a campaign artifact, labeling it as RECORDED (not

@@ -85,12 +85,18 @@ def cpu_probe_sec(iters: int = 5) -> float:
     return round(best, 4)
 
 
-MEMBW_PROBE_REF_SEC = None  # calibrated below; see BENCH/BASELINE.md
-"""Parallel memory-bandwidth probe reference (8 procs). The box's
+MEMBW_PROBE_REF_SEC = 0.040
+"""Parallel memory-bandwidth probe reference (8 procs), calibrated over
+seven calm-window readings 0.036-0.047 on 2026-08-17. The box's
 throttle windows can pass the SINGLE-thread probe while parallel
 memory-bound work runs 2-4x slow (observed round 5: probe calm, every
 bench query uniformly ~2.5x the calm record) — only a multi-process
-bandwidth-bound probe catches that mode."""
+bandwidth-bound probe catches that mode; a deep window read 0.246
+(6x) here while the single-thread probe read 1.13x."""
+
+MEMBW_PROBE_CALM_FACTOR = 1.5
+"""Looser than the CPU factor: the probe is a max-of-8-processes
+(tail-sensitive) and calm readings spread ~±15%."""
 
 
 def membw_probe_sec(nproc: int = 8) -> float:
