@@ -2548,6 +2548,60 @@ def q_ivfpq_topk_indexed(spark, sf):
                               cents, books, n_probe=4, refine=30)
 
 
+def q_asof_join_forward(spark, sf):
+    """Forward as-of: the EARLIEST signup at-or-after each event (the
+    'next maintenance window / next release' lookup). Same union +
+    key-partitioned window plan as backward — one shuffle, no self
+    join."""
+    from supersonic_spark.operators.asof import as_of_join
+    ev = _t(spark, sf, "events")
+    left = ev.select("user_id", "ts", "event_id")
+    right = (ev.filter(F.col("event_type") == "signup")
+               .select("user_id", "ts",
+                       _cents(F.col("value")).alias("signup_cents")))
+    out = as_of_join(left, right, key="user_id", on="ts",
+                     value_cols=["signup_cents"], direction="forward")
+    return out.select("event_id", "signup_cents")
+
+
+def q_asof_join_nearest(spark, sf):
+    """Nearest as-of: the time-closest signup either side of each
+    event, exact ties resolving backward; deltas compare at full
+    fractional-second precision (every event ts is sub-second). Both
+    fills come from two frames over ONE sorted partition — never a
+    self-join. DuckDB twin: two ASOF joins + a CASE on the epoch
+    deltas."""
+    from supersonic_spark.operators.asof import as_of_join
+    ev = _t(spark, sf, "events")
+    left = ev.select("user_id", "ts", "event_id")
+    right = (ev.filter(F.col("event_type") == "signup")
+               .select("user_id", "ts",
+                       _cents(F.col("value")).alias("signup_cents")))
+    out = as_of_join(left, right, key="user_id", on="ts",
+                     value_cols=["signup_cents"], direction="nearest")
+    return out.select("event_id", "signup_cents")
+
+
+def q_sessionize_ids(spark, sf):
+    """Per-EVENT session labels (session_window only yields the
+    aggregated windows): a session breaks after a 30-minute gap;
+    session_n = running count of breaks per user. One user-keyed
+    window, integer-exact."""
+    from pyspark.sql import Window
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # NTZ-safe: timestamp subtraction is an exact microsecond INTERVAL
+    gap = F.col("ts") - F.lag("ts").over(w)
+    brk = F.when(gap.isNull()
+                 | (gap > F.expr("INTERVAL 1800 SECONDS")), 1) \
+           .otherwise(0)
+    wc = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return e.select(
+        "event_id", "user_id",
+        F.sum(brk).over(wc).cast("int").alias("session_n"))
+
+
 def q_cooccurrence_pmi(spark, sf):
     """Co-occurrence association statistics (the skip-gram/word2vec
     prep shape): within-order part pairs scored by pointwise mutual
@@ -3028,6 +3082,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_distinct": q_sketch_hll_distinct,
         "cooccurrence_pmi": q_cooccurrence_pmi,
         "bigram_lm": q_bigram_lm,
+        "asof_join_forward": q_asof_join_forward,
+        "asof_join_nearest": q_asof_join_nearest,
+        "sessionize_ids": q_sessionize_ids,
     }
 
 

@@ -16,35 +16,84 @@ from pyspark.sql import functions as F
 
 
 def as_of_join(left: DataFrame, right: DataFrame, key: str, on: str,
-               value_cols: list[str] | None = None) -> DataFrame:
-    """For each left row: columns of the most recent right row with
-    right[on] <= left[on], matching on `key`. Right columns are null when
-    nothing precedes. Ties on `on` prefer the right row (<=). If the right
-    side has duplicate (key, on) pairs, which duplicate wins is
-    unspecified — deduplicate the right side first when that matters."""
+               value_cols: list[str] | None = None,
+               direction: str = "backward") -> DataFrame:
+    """For each left row: the columns of one matching right row on the
+    same `key`, chosen by `direction`:
+
+    - "backward" (default): latest right row with right[on] <= left[on]
+      (ties on `on` match — the DuckDB ASOF `>=` convention)
+    - "forward": earliest right row with right[on] >= left[on] (ties
+      match)
+    - "nearest": whichever of the two is closer in `on`; exact ties
+      (including an equal-`on` match) resolve backward
+
+    Right columns are null when no row qualifies. If the right side has
+    duplicate (key, on) pairs, which duplicate wins is unspecified —
+    deduplicate the right side first when that matters.
+
+    Plan shape for every direction: union + key-partitioned ordered
+    window (carry-forward / carry-backward), one shuffle on the key, no
+    per-row Python, no broadcast requirement — "nearest" computes both
+    fills over the SAME sorted partition (two frames, one sort), never
+    a self-join.
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown as-of direction {direction!r}")
     value_cols = value_cols or [c for c in right.columns
                                 if c not in (key, on)]
+    carry = list(value_cols)
+    if direction == "nearest":
+        carry = carry + [on]          # need the matched `on` for deltas
     l_tag = left.select(
         key, on, *[c for c in left.columns if c not in (key, on)],
         F.lit(1).alias("_is_left"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
-          for c in value_cols])
+          for c in carry])
     r_tag = right.select(
         key, on,
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left.columns if c not in (key, on)],
         F.lit(0).alias("_is_left"),
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols])
+        *[F.col(c).alias(f"_r_{c}") for c in carry])
     unioned = l_tag.unionByName(r_tag)
-    # right rows sort before left rows at equal `on` so <= ties match
-    w = (Window.partitionBy(key)
-         .orderBy(F.col(on).asc(), F.col("_is_left").asc())
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # tie order: whichever side must see equal-`on` right rows inside
+    # its frame sorts the right rows toward it
+    tie = (F.col("_is_left").desc() if direction == "forward"
+           else F.col("_is_left").asc())
+    wb = (Window.partitionBy(key).orderBy(F.col(on).asc(), tie)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wf = (Window.partitionBy(key).orderBy(F.col(on).asc(), tie)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    if direction == "backward":
+        fills = {c: F.last(f"_r_{c}", ignorenulls=True).over(wb)
+                 for c in carry}
+    elif direction == "forward":
+        fills = {c: F.first(f"_r_{c}", ignorenulls=True).over(wf)
+                 for c in carry}
+    else:
+        # backward frame includes equal-`on` right rows (tie asc), the
+        # forward frame is strictly-after — an exact match carries
+        # delta 0 on the backward side and wins, as specified
+        fills = {}
+        # raw subtraction: timestamps yield exact day-time INTERVALs
+        # (microsecond precision — unix_timestamp() would truncate to
+        # seconds and misrank sub-second nearest decisions), numerics
+        # yield numerics; both compare directly
+        b_on = F.last(f"_r_{on}", ignorenulls=True).over(wb)
+        f_on = F.first(f"_r_{on}", ignorenulls=True).over(wf)
+        db = F.col(on) - b_on
+        df_ = f_on - F.col(on)
+        use_b = (f_on.isNull()
+                 | (b_on.isNotNull() & (db <= df_)))
+        for c in value_cols:
+            fills[c] = F.when(
+                use_b, F.last(f"_r_{c}", ignorenulls=True).over(wb)) \
+                .otherwise(F.first(f"_r_{c}", ignorenulls=True).over(wf))
     filled = unioned.select(
-        "*", *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_f_{c}")
-               for c in value_cols])
+        "*", *[fills[c].alias(f"_f_{c}") for c in value_cols])
     out = filled.filter(F.col("_is_left") == 1).drop(
-        "_is_left", *[f"_r_{c}" for c in value_cols])
+        "_is_left", *[f"_r_{c}" for c in carry])
     for c in value_cols:
         out = out.withColumnRenamed(f"_f_{c}", c)
     return out

@@ -2365,3 +2365,44 @@ SELECT c.w1, c.w2, c.c_bg, u.c_w1,
 FROM cnt c JOIN uni u USING (w1)
 WHERE c.c_bg >= 5
 """
+
+ORACLES["asof_join_forward"] = """
+SELECT l.event_id, r.signup_cents
+FROM (SELECT user_id, ts, event_id FROM events) l
+ASOF LEFT JOIN (
+  SELECT user_id, ts, CAST(round(value*100,0) AS BIGINT) AS signup_cents
+  FROM events WHERE event_type = 'signup') r
+ON l.user_id = r.user_id AND l.ts <= r.ts
+"""
+
+# nearest = closer of backward (ties included) and strictly-forward;
+# exact ties resolve backward. epoch() keeps the fractional seconds the
+# Spark side compares (cast-to-double) — every event ts is sub-second.
+ORACLES["asof_join_nearest"] = """
+WITH s AS (
+  SELECT user_id, ts, CAST(round(value*100,0) AS BIGINT) AS signup_cents
+  FROM events WHERE event_type = 'signup')
+SELECT l.event_id,
+       CASE WHEN f.ts IS NULL THEN b.signup_cents
+            WHEN b.ts IS NULL THEN f.signup_cents
+            WHEN epoch(l.ts) - epoch(b.ts) <= epoch(f.ts) - epoch(l.ts)
+              THEN b.signup_cents
+            ELSE f.signup_cents END AS signup_cents
+FROM (SELECT user_id, ts, event_id FROM events) l
+ASOF LEFT JOIN s b ON l.user_id = b.user_id AND l.ts >= b.ts
+ASOF LEFT JOIN s f ON l.user_id = f.user_id AND l.ts < f.ts
+"""
+
+ORACLES["sessionize_ids"] = """
+WITH g AS (
+  SELECT event_id, user_id, ts,
+         epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)) AS gap
+  FROM events)
+SELECT event_id, user_id,
+       CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800.0e0 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS INTEGER) AS session_n
+FROM g
+"""

@@ -474,3 +474,61 @@ def test_merge_stream_sink_whole_conversations_per_batch(spark, tmp_path):
     got = sorted((r.conv_id, r.turn_idx, r.v)
                  for r in spark.read.parquet(d).collect())
     assert got == [(1, t, f"T{t}") for t in range(5)] + [(2, 0, "b")]
+
+
+# --- as-of join directions -------------------------------------------------
+
+def _asof_frames(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "l10"), (1, 20, "l20"), (1, 35, "l35")],
+        "k long, t long, lv string")
+    right = spark.createDataFrame(
+        [(1, 8, "r8"), (1, 20, "r20"), (1, 30, "r30")],
+        "k long, t long, rv string")
+    return left, right
+
+
+def test_asof_forward_earliest_at_or_after(spark):
+    from supersonic_spark.operators.asof import as_of_join
+    left, right = _asof_frames(spark)
+    got = {r.t: r.rv for r in as_of_join(
+        left, right, "k", "t", ["rv"], direction="forward").collect()}
+    assert got == {10: "r20", 20: "r20", 35: None}  # ties match; none after 30
+
+
+def test_asof_nearest_picks_closer_side(spark):
+    from supersonic_spark.operators.asof import as_of_join
+    left, right = _asof_frames(spark)
+    got = {r.t: r.rv for r in as_of_join(
+        left, right, "k", "t", ["rv"], direction="nearest").collect()}
+    assert got[10] == "r8"    # |10-8|=2 < |20-10|=10
+    assert got[20] == "r20"   # exact match, delta 0
+    assert got[35] == "r30"   # nothing after -> backward
+    # equidistant resolves backward
+    l2 = spark.createDataFrame([(1, 19, "x")], "k long, t long, lv string")
+    r2 = spark.createDataFrame([(1, 17, "lo"), (1, 21, "hi")],
+                               "k long, t long, rv string")
+    got2 = as_of_join(l2, r2, "k", "t", ["rv"],
+                      direction="nearest").collect()[0].rv
+    assert got2 == "lo"
+
+
+def test_asof_nearest_timestamp_subsecond(spark):
+    import datetime as dt
+    from supersonic_spark.operators.asof import as_of_join
+    b = dt.datetime(2024, 1, 1, 12, 0, 0)
+    us = dt.timedelta(microseconds=1)
+    left = spark.createDataFrame([(1, b, "l")], "k long, t timestamp, lv string")
+    right = spark.createDataFrame(
+        [(1, b - 3 * us, "before"), (1, b + 2 * us, "after")],
+        "k long, t timestamp, rv string")
+    got = as_of_join(left, right, "k", "t", ["rv"],
+                     direction="nearest").collect()[0].rv
+    assert got == "after"  # 2us forward beats 3us backward
+
+
+def test_asof_rejects_unknown_direction(spark):
+    from supersonic_spark.operators.asof import as_of_join
+    left, right = _asof_frames(spark)
+    with pytest.raises(ValueError, match="direction"):
+        as_of_join(left, right, "k", "t", ["rv"], direction="sideways")
