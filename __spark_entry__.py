@@ -2872,6 +2872,66 @@ def q_skew_join_salted(spark, sf):
     return salted_join(li, o, ["l_orderkey"], salt, n_salt=8)
 
 
+def q_validate_expectations(spark, sf):
+    """Data-quality expectations audit over a deliberately-dirtied
+    orders view (nullified priorities, modulo-collided keys, corrupted
+    FKs) so every rule kind reports a non-trivial violation count.
+    Scan rules fold into ONE aggregate pass; the FK rule is one
+    broadcast anti join. Output: (rule, violations)."""
+    from supersonic_spark import validate as V
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    dirty = o.select(
+        "o_orderkey", "o_totalprice", "o_orderstatus",
+        (F.col("o_orderkey") % 1000).alias("key_mod"),
+        F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("pri"),
+        (F.col("o_custkey")
+         + F.when(F.col("o_orderkey") % 50 == 0, 1000000)
+            .otherwise(0)).alias("cust_fk"))
+    rules = [
+        V.not_null("pri_not_null", "pri"),
+        V.in_range("price_range", "o_totalprice", 1.0, 200000.0),
+        V.accepted("status_accepted", "o_orderstatus", ["O", "F"]),
+        V.unique("key_mod_unique", "key_mod"),
+        V.unique("orderkey_unique", "o_orderkey"),
+        V.foreign_key("custkey_fk", "cust_fk", c, "c_custkey"),
+    ]
+    return V.expectations_report(dirty, rules)
+
+
+def q_inverted_index(spark, sf):
+    """Inverted index over the corpus: token -> doc-sorted postings
+    "doc:tf,..." with document frequency; min_df=2 prunes hapax terms,
+    max_df prunes stopword-grade posting lists (the bound a 100 TB
+    index must set; 499 here = all-but-universal terms, sized to the
+    synthetic corpus's 31-token vocabulary). Engine-portable postings
+    string."""
+    from supersonic_spark.text.retrieval import inverted_index
+    d = _t(spark, sf, "documents")
+    return inverted_index(d, min_df=2, max_df=499)
+
+
+def q_winnow_fingerprints(spark, sf):
+    """Winnowing (MOSS) fingerprints, k=3 w=4: windowed min over
+    positional 3-gram hashes — any shared >=6-token substring between
+    docs yields an identical fingerprint. Doc-partitioned window,
+    portable string tie-break, no UDFs."""
+    from supersonic_spark.text.winnow import winnow_fingerprints
+    d = _t(spark, sf, "documents")
+    return winnow_fingerprints(d, k=3, w=4)
+
+
+def q_jaccard_prefix_join(spark, sf):
+    """EXACT unigram-Jaccard pairs >= 0.5 via prefix filtering
+    (PPJoin-style): candidates keyed on each doc's RAREST grams only,
+    so hot grams never self-join — the lossless alternative to
+    ngram_jaccard's df_cap (this gate's oracle is the uncapped,
+    unblocked exact pair set; same corpus as the ngram_jaccard gate)."""
+    from supersonic_spark.text.dedup import jaccard_prefix_pairs
+    d = _t(spark, sf, "documents")
+    return jaccard_prefix_pairs(d, "text", "doc_id", n=1, threshold=0.5)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3085,6 +3145,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_forward": q_asof_join_forward,
         "asof_join_nearest": q_asof_join_nearest,
         "sessionize_ids": q_sessionize_ids,
+        # --- round-5 wave 5e: quality audit / index / fingerprint /
+        #     lossless similarity join ---
+        "validate_expectations": q_validate_expectations,
+        "inverted_index": q_inverted_index,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "jaccard_prefix_join": q_jaccard_prefix_join,
     }
 
 

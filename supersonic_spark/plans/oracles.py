@@ -2406,3 +2406,102 @@ SELECT event_id, user_id,
             AS INTEGER) AS session_n
 FROM g
 """
+
+# expectations audit: each rule recomputed as an independent count over
+# the same dirtied view; NULL semantics match ANSI CHECK (range/accepted
+# pass NULLs; not_null catches them)
+ORACLES["validate_expectations"] = """
+WITH d AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus,
+         o_orderkey % 1000 AS key_mod,
+         nullif(o_orderpriority, '1-URGENT') AS pri,
+         o_custkey + CASE WHEN o_orderkey % 50 = 0 THEN 1000000
+                          ELSE 0 END AS cust_fk
+  FROM orders)
+SELECT 'pri_not_null' AS rule,
+       CAST(count(*) FILTER (pri IS NULL) AS BIGINT) AS violations FROM d
+UNION ALL
+SELECT 'price_range',
+       CAST(count(*) FILTER (o_totalprice < 1.0 OR o_totalprice > 200000.0)
+            AS BIGINT) FROM d
+UNION ALL
+SELECT 'status_accepted',
+       CAST(count(*) FILTER (o_orderstatus NOT IN ('O', 'F'))
+            AS BIGINT) FROM d
+UNION ALL
+SELECT 'key_mod_unique',
+       CAST(count(key_mod) - count(DISTINCT key_mod) AS BIGINT) FROM d
+UNION ALL
+SELECT 'orderkey_unique',
+       CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT) FROM d
+UNION ALL
+SELECT 'custkey_fk', CAST(count(*) AS BIGINT) FROM d
+WHERE cust_fk IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = d.cust_fk)
+"""
+
+# inverted index: postings string rebuilt with ORDER BY inside
+# string_agg — byte-identical to Spark's array_sort(collect_list)
+ORACLES["inverted_index"] = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok
+  WHERE token <> '' GROUP BY 1, 2)
+SELECT token, CAST(count(*) AS BIGINT) AS df_docs,
+       string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+FROM tf GROUP BY token HAVING count(*) BETWEEN 2 AND 499
+"""
+
+# winnowing: same positional 3-grams, same 60-bit md5 hash, same
+# string-key windowed min (hash-hex padded to 15 || pos padded to 8),
+# same window-start clamp for short docs
+ORACLES["winnow_fingerprints"] = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0),
+grams AS (
+  SELECT doc_id, u.i - 1 AS pos,
+         t[u.i] || ' ' || t[u.i+1] || ' ' || t[u.i+2] AS gram
+  FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3),
+keyed AS (
+  SELECT doc_id, pos,
+         lpad(hex(('0x' || substr(md5(gram), 1, 15))::BIGINT), 15, '0')
+           || lpad(CAST(pos AS VARCHAR), 8, '0') AS key
+  FROM grams),
+sel AS (
+  SELECT doc_id, pos,
+         min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel_key,
+         count(*) OVER (PARTITION BY doc_id) AS n_grams
+  FROM keyed),
+dd AS (
+  SELECT DISTINCT doc_id, sel_key FROM sel
+  WHERE pos <= greatest(n_grams - 4, 0))
+SELECT doc_id,
+       CAST(substr(sel_key, 16, 8) AS INTEGER) AS fp_pos,
+       ('0x' || substr(sel_key, 1, 15))::BIGINT AS fp_hash
+FROM dd
+"""
+
+# prefix-filter join is LOSSLESS, so the oracle is the brute-force
+# exact pair set (no cap, no blocking) — the gate proves equivalence
+ORACLES["jaccard_prefix_join"] = r"""
+WITH g AS (
+  SELECT DISTINCT doc_id, tok AS g FROM (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+    FROM documents WHERE length(trim(text)) > 0)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM g a JOIN g b ON a.g = b.g
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(n_inter / (sa.sz + sb.sz - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(n_inter / (sa.sz + sb.sz - n_inter), 4) >= 0.5
+"""

@@ -217,3 +217,71 @@ def fuzzy_join_blocked(left: DataFrame, right: DataFrame,
              .filter(F.col("dist") <= max_dist)
              .select(F.col("_l").alias(left_col),
                      F.col("_r").alias(right_col), "dist"))
+
+
+def jaccard_prefix_pairs(df: DataFrame, text_col: str, id_col: str,
+                         n: int = 1,
+                         threshold: float = 0.5) -> DataFrame:
+    """EXACT n-gram Jaccard pairs above threshold via prefix filtering
+    (PPJoin-family; Chaudhuri et al. ICDE'06, Xiao et al. WWW'08) — the
+    lossless, scale-superior alternative to ngram_jaccard_pairs'
+    df_cap truncation.
+
+    Order every doc's gram set by GLOBAL document frequency ascending
+    (rarest first, ties by gram text — a total order). If
+    J(A,B) >= t then |A∩B| >= t·|A|, so at most |A| - ceil(t·|A|)
+    of A's grams miss B — A's first L_A = |A| - ceil(t·|A|) + 1
+    ordered grams (its PREFIX, the rarest ones) must hit B. Candidate
+    pairs are therefore prefix(A) ⋈ allgrams(B) on the gram — no pair
+    with J >= t can be missed, and hot grams never self-join: they sort
+    to the END of every doc's ordering and fall outside the prefix, so
+    the quadratic blow-up df_cap exists to suppress simply never forms.
+
+    Plan shape (100 TB): grams exploded once; df is a vocabulary-keyed
+    count (broadcastable); the prefix rank is a doc-partitioned window
+    (never global); candidate generation is an equi-join keyed on the
+    RAREST grams only; verification joins the (small) candidate pair
+    set back to the full gram table — candidate-driven, so verification
+    cost scales with output, not corpus². Exactness: every emitted
+    jaccard is computed from full intersection counts, and the prefix
+    guarantee above means no qualifying pair is dropped.
+    """
+    from pyspark.sql import Window
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("g"))
+    # consumed by sizes, df, ranking, and both verification sides —
+    # materialize once (same localCheckpoint rationale as
+    # ngram_jaccard_pairs above)
+    grams = grams.localCheckpoint(eager=True)
+    sizes = grams.groupBy("_id").agg(F.count("*").alias("sz"))
+    dfreq = grams.groupBy("g").agg(F.count("*").alias("gdf"))
+    prefix_len = (F.col("sz")
+                  - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+    pref = (grams.join(dfreq, "g")
+            .withColumn("rn", F.row_number().over(
+                Window.partitionBy("_id").orderBy("gdf", "g")))
+            .join(sizes, "_id")
+            .filter(F.col("rn") <= prefix_len)
+            .select("_id", "g"))
+    cand = (pref.select(F.col("g"), F.col("_id").alias("id_a"))
+            .join(grams.select(F.col("g"), F.col("_id").alias("id_b")),
+                  "g")
+            .filter(F.col("id_a") != F.col("id_b"))
+            .select(F.least("id_a", "id_b").alias("id_a"),
+                    F.greatest("id_a", "id_b").alias("id_b"))
+            .distinct())
+    inter = (grams.select(F.col("_id").alias("id_a"), "g")
+             .join(cand, "id_a")
+             .join(grams.select(F.col("_id").alias("id_b"), "g"),
+                   ["id_b", "g"])
+             .groupBy("id_a", "id_b")
+             .agg(F.count("*").alias("inter")))
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (inter.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("jaccard", F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))

@@ -126,3 +126,38 @@ def feature_hash(docs: DataFrame, n_features: int = 64,
                             % n_features).cast("int"))
                .groupBy(id_col, "feature")
                .agg(F.count("*").alias("cnt")))
+
+
+def inverted_index(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", min_df: int = 1,
+                   max_df: int | None = None) -> DataFrame:
+    """Build an inverted index: (token, df_docs, postings), where
+    postings is the doc-id-sorted list "doc:tf,doc:tf,..." — the
+    lexical-retrieval data structure BM25/TF-IDF queries probe, as a
+    materializable table.
+
+    min_df prunes hapax noise; max_df prunes stopword-grade terms whose
+    posting lists are corpus-sized (at 100 TB ALWAYS set one — a
+    stopword's posting list is the document count; real engines either
+    cap or tier them). Both filters are applied to the aggregated df,
+    so the pruning decision is exact.
+
+    Scale: one explode + (doc, token) partial count (map-side combine),
+    then a vocabulary-keyed shuffle; collect_list is bounded per token
+    by max_df. The postings string is engine-portable (DuckDB
+    string_agg ORDER BY reproduces it byte-for-byte).
+    """
+    tf = term_counts(docs, id_col, text_col)
+    idx = (tf.groupBy("token")
+           .agg(F.count("*").alias("df_docs"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct(F.col(id_col).alias("d"),
+                                     F.col("tf").alias("c")))),
+                        lambda s: F.concat_ws(":", s["d"], s["c"])),
+                    ",").alias("postings")))
+    out = idx.filter(F.col("df_docs") >= min_df)
+    if max_df is not None:
+        out = out.filter(F.col("df_docs") <= max_df)
+    return out
