@@ -2932,6 +2932,100 @@ def q_jaccard_prefix_join(spark, sf):
     return jaccard_prefix_pairs(d, "text", "doc_id", n=1, threshold=0.5)
 
 
+def _dirty_conv_view(spark, sf):
+    """Transcript-shaped view of events with deliberate structural
+    corruption, so every integrity check reports non-trivially: turn
+    indices assigned BEFORE dropping event_id%7 rows (=> gaps, and
+    first-turn violations where a conversation's row 0 died), roles
+    forced to 'assistant' on %13 (=> alternation repeats), text blanked
+    on %17, timestamps pulled 2h back on %31 (=> regressions)."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = e.select(
+        F.concat(F.lit("c"), F.col("user_id")).alias("conv_id"),
+        "event_id", "ts", "props",
+        (F.row_number().over(w) - 1).alias("rn"))
+    return (base.select(
+        "conv_id",
+        F.col("rn").alias("turn_idx"),
+        F.when(F.col("event_id") % 13 == 0, F.lit("assistant"))
+         .otherwise(F.when(F.col("rn") % 2 == 0, F.lit("user"))
+                     .otherwise(F.lit("assistant"))).alias("role"),
+        F.when(F.col("event_id") % 17 == 0, F.lit("  "))
+         .otherwise(F.col("props")).alias("text"),
+        F.when(F.col("event_id") % 31 == 0,
+               F.col("ts") - F.expr("INTERVAL 2 HOURS"))
+         .otherwise(F.col("ts")).alias("ts"))
+        .filter(F.col("event_id") % 7 != 0))
+
+
+def q_conv_integrity_audit(spark, sf):
+    """Transcript-integrity audit (turn gaps, broken role alternation,
+    timestamp regressions, blank turns, bad first turns) over the
+    deliberately-corrupted conversation view — one conv_id window pass
+    + one folded aggregate. Output: (check, violations)."""
+    from supersonic_spark.conversations import integrity_report
+    return integrity_report(_dirty_conv_view(spark, sf))
+
+
+def q_conv_stats(spark, sf):
+    """Per-conversation rollup (turn count, role mix, token total,
+    wall-clock span) over the same derived conversation view — the
+    curation layer's keying table. One conv_id shuffle."""
+    from supersonic_spark.conversations import conversation_stats
+    return conversation_stats(_dirty_conv_view(spark, sf))
+
+
+def q_sketch_count_min(spark, sf):
+    """Count-min sketch (d=4, w=64) over event types: build the
+    register table (bounded d*w-row state, cell-wise mergeable), then
+    point-estimate every distinct key as the min over its d counters.
+    Engine-portable md5 bucket arithmetic, so DuckDB replays the whole
+    sketch exactly. Output: (key, est_count)."""
+    from supersonic_spark.functions.sketches import (cms_point_estimates,
+                                                     cms_registers)
+    e = _t(spark, sf, "events")
+    reg = cms_registers(e, "event_type", d=4, w=64)
+    keys = e.select("event_type").distinct()
+    return cms_point_estimates(reg, keys, "event_type", d=4, w=64)
+
+
+def q_text_normalize(spark, sf):
+    """Curation text normalization: zero-width strip, control->space,
+    whitespace collapse, trim — over documents text dirtied with
+    tab/ZWSP/control-char noise on doc_id%3==0 so `changed` is
+    non-trivial. Output: (doc_id, norm, changed)."""
+    from supersonic_spark.text.analysis import normalize_text
+    d = _t(spark, sf, "documents")
+    raw = F.when(F.col("doc_id") % 3 == 0,
+                 F.concat(F.lit("\tx "), F.col("text"),
+                          F.lit(" y\u200bz\x01  w"))) \
+           .otherwise(F.col("text"))
+    dirty = d.select("doc_id", raw.alias("raw"))
+    return dirty.select(
+        "doc_id",
+        normalize_text(F.col("raw")).alias("norm"),
+        (normalize_text(F.col("raw")) != F.col("raw")).cast("int")
+        .alias("changed"))
+
+
+def q_bloom_prefilter_join(spark, sf):
+    """Runtime-filter semi join: bloom of URGENT order keys pushed into
+    the lineitem scan, exact broadcast semi join after — result
+    identical to a plain semi join (the oracle), rows killed before the
+    exchange. Output: per-returnflag count + quantity total."""
+    from supersonic_spark.operators.runtime_filter import (
+        bloom_prefilter_semi_join)
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT")
+    hits = bloom_prefilter_semi_join(li, o, "l_orderkey", "o_orderkey",
+                                     n_bits=1 << 17)
+    return (hits.groupBy("l_returnflag")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("l_quantity").cast("long")).alias("sum_qty")))
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3007,9 +3101,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_window_agg": q_tumbling_window_agg,
         "pivot_agg": q_pivot_agg,
         # ---------------- end of 50-entry driver prefix ----------------
-        # (4 never-proven variants deferred to r6 for lack of slots:
+        # (never-proven entries deferred to r6 for lack of slots:
         #  pq_topk_refined, multimodal_resize, tpch_q11_important_stock,
-        #  codec_snapshot — their operator families are covered above)
+        #  codec_snapshot, and the late wave-5e/5f sets registered at
+        #  the tail — validate_expectations, inverted_index,
+        #  winnow_fingerprints, jaccard_prefix_join,
+        #  conv_integrity_audit, conv_stats, sketch_count_min,
+        #  text_normalize, bloom_prefilter_join. All replica-green;
+        #  their operator families are covered above)
         "scan_project": q_scan_project,
         "compute_expr": q_compute_expr,
         "filter_null_semantics": q_filter_null_semantics,
@@ -3151,6 +3250,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "winnow_fingerprints": q_winnow_fingerprints,
         "jaccard_prefix_join": q_jaccard_prefix_join,
+        # --- round-5 wave 5f: transcript integrity / CMS / normalize /
+        #     runtime-filter join ---
+        "conv_integrity_audit": q_conv_integrity_audit,
+        "conv_stats": q_conv_stats,
+        "sketch_count_min": q_sketch_count_min,
+        "text_normalize": q_text_normalize,
+        "bloom_prefilter_join": q_bloom_prefilter_join,
     }
 
 

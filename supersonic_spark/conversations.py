@@ -1,0 +1,117 @@
+"""Conversation/transcript integrity auditing — the transcript-specific
+data-quality layer on top of the generic expectations engine
+(supersonic_spark.validate): given a table shaped like the north-rule
+transcript schema (conv_id, turn_idx, role, text, ts), report structural
+violations a 100 TB ingest job must quarantine before encoding:
+
+- ``turn_gap``        turn_idx is not the predecessor's + 1
+- ``role_repeat``     two consecutive user/assistant turns with the same
+                      role (broken alternation; tool turns are exempt —
+                      agent traces legally emit tool/tool runs)
+- ``ts_regression``   a turn's timestamp is before its predecessor's
+- ``empty_text``      blank/whitespace-only text
+- ``first_turn``      a conversation whose first turn is not turn_idx=0
+                      with role='user'
+
+Plan shape: ONE pass — a single window over (conv_id) ordered by
+turn_idx computes lag(role)/lag(turn_idx)/lag(ts) and row_number
+together, then one aggregate folds all five violation counts (the same
+"scan rules fold into one aggregate" discipline as
+validate.expectations_report). The window shuffle partitions by conv_id
+— the same key the encode pipeline already clusters by, so on the
+bucketized layout it is shuffle-free.
+
+All expressions are engine-portable; oracle parity in
+plans/oracles.py ``conv_integrity_audit``. Beyond-reference surface
+(Supersonic has no transcript tooling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def integrity_report(conv: DataFrame,
+                     conv_col: str = "conv_id",
+                     idx_col: str = "turn_idx",
+                     role_col: str = "role",
+                     text_col: str = "text",
+                     ts_col: str = "ts",
+                     alternating_roles: tuple[str, str] =
+                     ("user", "assistant")) -> DataFrame:
+    """Audit transcript structure; returns (check, violations) with one
+    row per check above, violation counts in turn (or conversation, for
+    ``first_turn``) units. Deterministic, zero UDFs."""
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    a, b = alternating_roles
+    rr = F.col(role_col).isin([a, b])
+    prev_rr = F.lag(role_col).over(w).isin([a, b])
+    x = conv.select(
+        F.col(conv_col).alias("_conv"),
+        F.col(idx_col).alias("_idx"),
+        F.col(role_col).alias("_role"),
+        F.col(text_col).alias("_text"),
+        F.col(ts_col).alias("_ts"),
+        F.lag(idx_col).over(w).alias("_pidx"),
+        F.lag(role_col).over(w).alias("_prole"),
+        F.lag(ts_col).over(w).alias("_pts"),
+        (F.row_number().over(w) == 1).alias("_first"),
+        (rr & prev_rr).alias("_alt_pair"),
+    )
+    agg = x.agg(
+        F.count(F.when(x["_pidx"].isNotNull()
+                       & (x["_idx"] != x["_pidx"] + 1), 1))
+         .alias("turn_gap"),
+        F.count(F.when(x["_alt_pair"] & (x["_role"] == x["_prole"]), 1))
+         .alias("role_repeat"),
+        F.count(F.when(x["_pts"].isNotNull() & (x["_ts"] < x["_pts"]), 1))
+         .alias("ts_regression"),
+        F.count(F.when(F.length(F.trim(F.coalesce(x["_text"], F.lit(""))))
+                       == 0, 1)).alias("empty_text"),
+        F.count(F.when(x["_first"] & ~((x["_idx"] == 0)
+                                       & (x["_role"] == a)), 1))
+         .alias("first_turn"),
+    )
+    checks = ["turn_gap", "role_repeat", "ts_regression", "empty_text",
+              "first_turn"]
+    return agg.select(F.stack(
+        F.lit(len(checks)),
+        *[c for name in checks for c in (F.lit(name), F.col(name))]
+    ).alias("check", "violations"))
+
+
+def conversation_stats(conv: DataFrame,
+                       conv_col: str = "conv_id",
+                       idx_col: str = "turn_idx",
+                       role_col: str = "role",
+                       text_col: str = "text",
+                       ts_col: str = "ts") -> DataFrame:
+    """Per-conversation rollup the curation layer keys on: turn count,
+    user/assistant/tool turn mix, total whitespace tokens, and wall-clock
+    span in seconds. One shuffle on conv_id (shuffle-free on the
+    bucketized layout); token counts are exact integer arithmetic."""
+    from supersonic_spark.text.analysis import token_count
+    return (conv.groupBy(F.col(conv_col).alias("conv_id"))
+            .agg(F.count("*").alias("n_turns"),
+                 F.count(F.when(F.col(role_col) == "user", 1))
+                  .alias("n_user"),
+                 F.count(F.when(F.col(role_col) == "assistant", 1))
+                  .alias("n_assistant"),
+                 F.count(F.when(F.col(role_col) == "tool", 1))
+                  .alias("n_tool"),
+                 F.sum(token_count(F.col(text_col))).alias("n_tokens"),
+                 _floor_div_us(
+                     F.unix_micros(F.max(ts_col).cast("timestamp"))
+                     - F.unix_micros(F.min(ts_col).cast("timestamp")))
+                 .alias("span_sec")))
+
+
+def _floor_div_us(span_us):
+    """Whole seconds from a non-negative microsecond span, by exact
+    integer arithmetic (subtract the remainder before dividing — the
+    numerator is then exactly divisible, so the double division is
+    exact). Truncating each endpoint to seconds first would disagree
+    with SQL engines' epoch arithmetic by ±1."""
+    whole = span_us - F.pmod(span_us, F.lit(1_000_000))
+    return (whole / F.lit(1_000_000)).cast("long")

@@ -307,3 +307,62 @@ def hll_distinct(df: DataFrame, col: str,
     m = 2^b registers; standard error ~1.04/sqrt(m))."""
     return hll_estimate(hll_registers(df, col, group_cols, b),
                         group_cols, b)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005): d x w counter matrix;
+# each key adds its weight to one counter per row (row i's bucket =
+# hash_i(key) % w); a point estimate is the MIN over the d counters,
+# always >= the true count, within eps*N with probability 1-delta for
+# w = ceil(e/eps), d = ceil(ln 1/delta).
+#
+# Scale properties (why a 100 TB profiler carries this next to
+# Misra-Gries): the shuffle after the explode is bounded by d*w rows per
+# partition (partial SUM combines map-side), the register table is
+# d*w rows total regardless of key cardinality, and sketches from
+# different tables/days MERGE by cell-wise addition (GROUP BY
+# (row, bucket) SUM) -- exercised in pytest. Misra-Gries answers "which
+# keys are heavy"; CMS answers "how heavy is ANY key" without storing
+# keys.
+#
+# Hashing is the engine-portable 60-bit md5 hash of (row_index || 0x1f
+# || key), so a SQL engine replays the register table bit-for-bit;
+# oracle parity in plans/oracles.py sketch_count_min.
+# ---------------------------------------------------------------------------
+
+
+def _cms_bucket(col: Column, row: int, w: int) -> Column:
+    from supersonic_spark.text.analysis import portable_hash64
+    h = portable_hash64(F.concat(F.lit(f"{row}\x1f"), col.cast("string")))
+    return F.pmod(h, F.lit(w)).cast("int")
+
+
+def cms_registers(df: DataFrame, col: str, weight: str | None = None,
+                  d: int = 4, w: int = 512) -> DataFrame:
+    """Build the CMS register table (row, bucket, cnt), rows with zero
+    mass omitted. weight=None counts occurrences; a weight column sums
+    it (negative weights = deletions, the CMS turnstile model)."""
+    wt = F.col(weight).cast("long") if weight else F.lit(1).cast("long")
+    cell = df.select(
+        wt.alias("_w"),
+        F.posexplode(F.array(*[
+            _cms_bucket(F.col(col), i, w) for i in range(d)
+        ])).alias("row", "bucket"))
+    return (cell.groupBy("row", "bucket").agg(F.sum("_w").alias("cnt")))
+
+
+def cms_point_estimates(registers: DataFrame, keys: DataFrame,
+                        key_col: str, d: int = 4, w: int = 512) -> DataFrame:
+    """Point-frequency estimates for a key table: min over the d probed
+    counters (missing register cell = 0). One broadcast-sized join per
+    probe batch: keys explode to d (row, bucket) probes, left-join the
+    register table, MIN per key."""
+    probes = keys.select(
+        F.col(key_col).alias("key"),
+        F.posexplode(F.array(*[
+            _cms_bucket(F.col(key_col), i, w) for i in range(d)
+        ])).alias("row", "bucket"))
+    return (probes.join(registers, ["row", "bucket"], "left")
+            .groupBy("key")
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long")))
+                  .alias("est_count")))

@@ -2505,3 +2505,140 @@ JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE round(n_inter / (sa.sz + sb.sz - n_inter), 4) >= 0.5
 """
+
+# transcript integrity audit over the corrupted conversation view:
+# row_number/lag replayed identically; interval arithmetic on DuckDB
+# timestamps matches Spark's (both microsecond-precision naive ts)
+ORACLES["conv_integrity_audit"] = """
+WITH base AS (
+  SELECT 'c' || user_id AS conv_id, event_id, ts, props,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) - 1 AS rn
+  FROM events),
+v AS (
+  SELECT conv_id, rn AS turn_idx,
+         CASE WHEN event_id % 13 = 0 THEN 'assistant'
+              WHEN rn % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         CASE WHEN event_id % 17 = 0 THEN '  ' ELSE props END AS text,
+         CASE WHEN event_id % 31 = 0 THEN ts - INTERVAL 2 HOUR
+              ELSE ts END AS ts
+  FROM base WHERE event_id % 7 <> 0),
+x AS (
+  SELECT conv_id, turn_idx, role, text, ts,
+         lag(turn_idx) OVER w AS pidx,
+         lag(role) OVER w AS prole,
+         lag(ts) OVER w AS pts,
+         row_number() OVER w = 1 AS first
+  FROM v WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+SELECT 'turn_gap' AS check,
+       CAST(count(*) FILTER (pidx IS NOT NULL AND turn_idx <> pidx + 1)
+            AS BIGINT) AS violations FROM x
+UNION ALL
+SELECT 'role_repeat',
+       CAST(count(*) FILTER (role IN ('user','assistant')
+                             AND prole IN ('user','assistant')
+                             AND role = prole) AS BIGINT) FROM x
+UNION ALL
+SELECT 'ts_regression',
+       CAST(count(*) FILTER (pts IS NOT NULL AND ts < pts) AS BIGINT)
+FROM x
+UNION ALL
+SELECT 'empty_text',
+       CAST(count(*) FILTER (length(trim(coalesce(text, ''))) = 0)
+            AS BIGINT) FROM x
+UNION ALL
+SELECT 'first_turn',
+       CAST(count(*) FILTER (first AND NOT (turn_idx = 0
+                                            AND role = 'user'))
+            AS BIGINT) FROM x
+"""
+
+# per-conversation rollup over the same corrupted view; token counts
+# use the shared whitespace tokenizer (blank text -> 0 tokens)
+ORACLES["conv_stats"] = r"""
+WITH base AS (
+  SELECT 'c' || user_id AS conv_id, event_id, ts, props,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) - 1 AS rn
+  FROM events),
+v AS (
+  SELECT conv_id, rn AS turn_idx,
+         CASE WHEN event_id % 13 = 0 THEN 'assistant'
+              WHEN rn % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         CASE WHEN event_id % 17 = 0 THEN '  ' ELSE props END AS text,
+         CASE WHEN event_id % 31 = 0 THEN ts - INTERVAL 2 HOUR
+              ELSE ts END AS ts
+  FROM base WHERE event_id % 7 <> 0)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(*) FILTER (role = 'user') AS BIGINT) AS n_user,
+       CAST(count(*) FILTER (role = 'assistant') AS BIGINT)
+         AS n_assistant,
+       CAST(count(*) FILTER (role = 'tool') AS BIGINT) AS n_tool,
+       CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END)
+            AS BIGINT) AS n_tokens,
+       CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000
+            AS BIGINT) AS span_sec
+FROM v GROUP BY conv_id
+"""
+
+# count-min sketch replayed cell-for-cell: same md5 bucket arithmetic
+# (row || chr(31) || key), d=4 rows, w=64 buckets, min over counters
+ORACLES["sketch_count_min"] = """
+WITH r AS (SELECT unnest([0, 1, 2, 3]) AS row),
+cells AS (
+  SELECT row,
+         CAST(('0x' || substr(md5(CAST(row AS VARCHAR) || chr(31)
+                                  || event_type), 1, 15))::BIGINT % 64
+              AS INTEGER) AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events, r GROUP BY 1, 2),
+ks AS (SELECT DISTINCT event_type FROM events),
+probes AS (
+  SELECT event_type AS key, row,
+         CAST(('0x' || substr(md5(CAST(row AS VARCHAR) || chr(31)
+                                  || event_type), 1, 15))::BIGINT % 64
+              AS INTEGER) AS bucket
+  FROM ks, r)
+SELECT key, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est_count
+FROM probes LEFT JOIN cells USING (row, bucket)
+GROUP BY key
+"""
+
+# normalization chain with RE2 twins of the Java patterns; the dirty
+# construction (tab/ZWSP/control noise on doc_id%3=0) is replayed with
+# chr() codepoints
+ORACLES["text_normalize"] = """
+WITH dirty AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN chr(9) || 'x ' || text || ' y' || chr(8203) || 'z'
+                   || chr(1) || '  w'
+              ELSE text END AS raw
+  FROM documents),
+n AS (
+  SELECT doc_id, raw,
+         trim(regexp_replace(
+           regexp_replace(
+             regexp_replace(raw,
+               '[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]', '', 'g'),
+             '[\\x00-\\x1F\\x7F\\x{0080}-\\x{009F}]', ' ', 'g'),
+           ' +', ' ', 'g')) AS norm
+  FROM dirty)
+SELECT doc_id, norm,
+       CAST(CASE WHEN norm <> raw THEN 1 ELSE 0 END AS INTEGER)
+         AS changed
+FROM n
+"""
+
+# the bloom prefilter is exact (false positives die in the semi join),
+# so the oracle is the PLAIN semi join aggregate
+ORACLES["bloom_prefilter_join"] = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag
+"""

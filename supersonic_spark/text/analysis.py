@@ -120,3 +120,21 @@ def redact_pii(col: Column) -> Column:
     out = F.regexp_replace(out, "[0-9a-fA-F]{16,}", "<HEX>")
     out = F.regexp_replace(out, "[0-9][0-9 ()+-]{6,}[0-9]", "<NUM>")
     return out
+
+
+def normalize_text(col: Column, lowercase: bool = False) -> Column:
+    """Curation-stage text normalization, pure codegen expressions:
+
+    1. zero-width characters (ZWSP/ZWNJ/ZWJ/BOM) are deleted,
+    2. C0/C1 control characters (tab/newline included) become spaces,
+    3. runs of whitespace collapse to one space,
+    4. trim; optional lowercase.
+
+    The Java-regex patterns have exact RE2 twins (DuckDB oracle in
+    plans/oracles.py text_normalize), so the normalized text is
+    engine-portable byte-for-byte -- the property that matters when a
+    dedup fingerprint computed by one engine must match another's."""
+    x = F.regexp_replace(col, "[\\u200B\\u200C\\u200D\\uFEFF]", "")
+    x = F.regexp_replace(x, "[\\x00-\\x1F\\x7F\\u0080-\\u009F]", " ")
+    x = F.trim(F.regexp_replace(x, " +", " "))
+    return F.lower(x) if lowercase else x
