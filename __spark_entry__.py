@@ -3026,6 +3026,43 @@ def q_bloom_prefilter_join(spark, sf):
                  F.sum(F.col("l_quantity").cast("long")).alias("sum_qty")))
 
 
+def q_lm_perplexity(spark, sf):
+    """CCNet-style perplexity filter: per-document cross-entropy under
+    the corpus's own add-0.5 bigram LM (exact integer-count ratios, so
+    DuckDB replays the score), kept = xent <= 3.39 (the corpus median,
+    so the decision column is non-trivial both ways). Output:
+    (doc_id, n_bigrams, xent, kept)."""
+    from supersonic_spark.text.lm import lm_cross_entropy
+    d = _t(spark, sf, "documents")
+    return lm_cross_entropy(d, k=0.5, max_xent=3.39)
+
+
+def q_stratified_sample(spark, sf):
+    """Exact stratified sampling: 100 documents allocated across
+    sources by largest-remainder (Hamilton) apportionment — the sample
+    size is EXACTLY 100, never off by rounding — with deterministic
+    smallest-hash row selection inside each stratum. Output:
+    (doc_id, source)."""
+    from supersonic_spark.text.curate import stratified_sample_exact
+    d = _t(spark, sf, "documents")
+    return (stratified_sample_exact(d, "source", "doc_id", total=100)
+            .select("doc_id", "source"))
+
+
+def q_skyline_parts(spark, sf):
+    """2-D skyline / Pareto frontier over part (maximize p_size,
+    minimize p_retailprice): survivors are parts no other part beats on
+    both axes. Distinct-size threshold table + broadcast join — never
+    the O(n^2) self-join, never a global data window. Output:
+    (p_partkey, p_size, price_cents)."""
+    from supersonic_spark.operators.analytics import skyline2d
+    p = _t(spark, sf, "part").select(
+        "p_partkey", "p_size",
+        F.round(F.col("p_retailprice") * 100).cast("long")
+         .alias("price_cents"))
+    return skyline2d(p, "p_size", "price_cents")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3103,11 +3140,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---------------- end of 50-entry driver prefix ----------------
         # (never-proven entries deferred to r6 for lack of slots:
         #  pq_topk_refined, multimodal_resize, tpch_q11_important_stock,
-        #  codec_snapshot, and the late wave-5e/5f sets registered at
+        #  codec_snapshot, and the late wave-5e/5f/5g sets registered at
         #  the tail — validate_expectations, inverted_index,
         #  winnow_fingerprints, jaccard_prefix_join,
         #  conv_integrity_audit, conv_stats, sketch_count_min,
-        #  text_normalize, bloom_prefilter_join. All replica-green;
+        #  text_normalize, bloom_prefilter_join, lm_perplexity,
+        #  stratified_sample, skyline_parts. All replica-green;
         #  their operator families are covered above)
         "scan_project": q_scan_project,
         "compute_expr": q_compute_expr,
@@ -3257,6 +3295,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_count_min": q_sketch_count_min,
         "text_normalize": q_text_normalize,
         "bloom_prefilter_join": q_bloom_prefilter_join,
+        # --- round-5 wave 5g: LM filter / exact stratification /
+        #     skyline ---
+        "lm_perplexity": q_lm_perplexity,
+        "stratified_sample": q_stratified_sample,
+        "skyline_parts": q_skyline_parts,
     }
 
 

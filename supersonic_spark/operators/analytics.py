@@ -269,3 +269,44 @@ def cohort_retention(df: DataFrame, user_col: str = "user_id",
                                     F.col("cohort_week")) / 7).cast("int"))
             .groupBy("cohort_week", "offset_weeks")
             .agg(F.count_distinct(user_col).alias("n_users")))
+
+
+def skyline2d(df: DataFrame, max_col: str, min_col: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): rows not DOMINATED by any other —
+    q dominates p when q.max_col >= p.max_col AND q.min_col <= p.min_col
+    with at least one strict. The "best tradeoffs" operator (Borzsony,
+    Kossmann, Stocker, ICDE 2001), e.g. biggest part at the lowest
+    price.
+
+    Scale shape — NOT the naive O(n^2) self-join, and NOT a global
+    single-partition window over the data either: dominance only
+    depends on min(min_col) per distinct max_col value, so
+
+    1. aggregate (max_col -> min(min_col)) — one shuffle bounded by the
+       distinct max_col count;
+    2. two running-MIN RANGE frames over that DISTINCT-VALUE table
+       (tiny, so its global window is harmless):
+       ``m_gt`` = best min_col among strictly greater max values,
+       ``m_ge`` = best min_col among max values >= this one;
+    3. broadcast the threshold table back and filter:
+       survive iff (m_gt is null or m_gt > min_col) and m_ge >= min_col
+       (an equal-max peer with strictly better min_col dominates).
+
+    Engine-portable (DuckDB RANGE frames agree). Duplicate (max,min)
+    points all survive, matching the NOT-EXISTS definition.
+    """
+    from pyspark.sql import Window
+    per_max = df.groupBy(max_col).agg(F.min(min_col).alias("_mn"))
+    o = Window.orderBy(F.col(max_col).desc())
+    thresholds = per_max.select(
+        max_col,
+        F.min("_mn").over(o.rangeBetween(Window.unboundedPreceding, -1))
+         .alias("_m_gt"),
+        F.min("_mn").over(o.rangeBetween(Window.unboundedPreceding,
+                                         Window.currentRow))
+         .alias("_m_ge"))
+    return (df.join(F.broadcast(thresholds), max_col)
+              .filter((F.col("_m_gt").isNull()
+                       | (F.col("_m_gt") > F.col(min_col)))
+                      & (F.col("_m_ge") >= F.col(min_col)))
+              .select(*df.columns))

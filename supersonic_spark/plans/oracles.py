@@ -2642,3 +2642,80 @@ WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                      WHERE o_orderpriority = '1-URGENT')
 GROUP BY l_returnflag
 """
+
+# bigram LM cross-entropy replayed exactly: same tokenization, same
+# lead-window bigrams, same add-0.5 smoothing over integer counts
+ORACLES["lm_perplexity"] = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pos AS (
+  SELECT doc_id, u.i AS pos, t[u.i] AS w
+  FROM toks, unnest(generate_series(1, len(t))) AS u(i)),
+tok AS (SELECT * FROM pos WHERE w <> ''),
+bg AS (
+  SELECT doc_id, w AS w1,
+         lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM tok),
+bg2 AS (SELECT doc_id, w1, w2 FROM bg WHERE w2 IS NOT NULL),
+c_bg AS (SELECT w1, w2, count(*) AS c_bg FROM bg2 GROUP BY 1, 2),
+c_w1 AS (SELECT w1, CAST(sum(c_bg) AS BIGINT) AS c_w1
+         FROM c_bg GROUP BY 1),
+v AS (SELECT count(*) AS v FROM c_w1),
+lp AS (
+  SELECT doc_id, ln((c_bg + 0.5) / (c_w1 + 0.5 * v)) AS lp
+  FROM bg2 JOIN c_bg USING (w1, w2) JOIN c_w1 USING (w1), v)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(-sum(lp) / count(*), 4) AS xent,
+       CAST(CASE WHEN round(-sum(lp) / count(*), 4) <= 3.39
+            THEN 1 ELSE 0 END AS INTEGER) AS kept
+FROM lp GROUP BY doc_id
+"""
+
+# Hamilton apportionment + smallest-portable-hash pick, all integer
+# arithmetic, replayed step for step
+ORACLES["stratified_sample"] = """
+WITH c AS (SELECT source, count(*) AS c_s FROM documents GROUP BY 1),
+n AS (SELECT sum(c_s) AS n FROM c),
+a AS (SELECT source, c_s,
+             CAST((100 * c_s) // n AS BIGINT) AS n_floor,
+             CAST((100 * c_s) % n AS BIGINT) AS rem
+      FROM c, n),
+l AS (SELECT CAST(100 - sum(n_floor) AS BIGINT) AS leftover FROM a),
+al AS (
+  SELECT source,
+         n_floor + CASE WHEN row_number()
+                             OVER (ORDER BY rem DESC, source) <= leftover
+                        THEN 1 ELSE 0 END AS n_s
+  FROM a, l),
+r AS (
+  SELECT d.doc_id, d.source,
+         row_number() OVER (
+           PARTITION BY d.source
+           ORDER BY ('0x' || substr(md5('strat#'
+                     || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                    doc_id) AS rn
+  FROM documents d)
+SELECT r.doc_id, r.source FROM r JOIN al USING (source) WHERE rn <= n_s
+"""
+
+# skyline: distinct-size threshold table with the same two RANGE
+# frames, NOT-EXISTS dominance semantics
+ORACLES["skyline_parts"] = """
+WITH p AS (
+  SELECT p_partkey, p_size,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+  FROM part),
+pm AS (SELECT p_size, min(price_cents) AS mn FROM p GROUP BY 1),
+th AS (
+  SELECT p_size,
+         min(mn) OVER (ORDER BY p_size DESC
+                       RANGE BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS m_gt,
+         min(mn) OVER (ORDER BY p_size DESC
+                       RANGE BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS m_ge
+  FROM pm)
+SELECT p.p_partkey, p.p_size, p.price_cents
+FROM p JOIN th USING (p_size)
+WHERE (m_gt IS NULL OR m_gt > price_cents) AND m_ge >= price_cents
+"""

@@ -132,3 +132,48 @@ def weighted_sample(df: DataFrame, weight_col: str, k: int,
               .withColumn("rn", F.row_number().over(w))
               .filter(F.col("rn") <= k)
               .drop("_ws_key"))
+
+
+def stratified_sample_exact(df: DataFrame, stratum_col: str,
+                            id_col: str, total: int) -> DataFrame:
+    """Exact stratified sampling: allocate `total` slots across strata
+    proportionally by the largest-remainder (Hamilton) method — each
+    stratum gets floor(total * c_s / N), and the leftover slots go to
+    the largest fractional remainders (ties broken by stratum value) so
+    the sampled count is EXACTLY `total`, not total +- rounding. Within
+    a stratum the n_s rows with the smallest portable id hash win —
+    deterministic, engine-replayable, partitioning-independent.
+
+    Scale: the allocation table is one strata-sized aggregate + one
+    strata-sized window (strata cardinality ~ sources, tiny), broadcast
+    back; row selection is one window top-n per stratum. All integer
+    arithmetic (floor/remainder via div/pmod), so a SQL oracle matches
+    exactly. Requires total <= N.
+    """
+    from pyspark.sql import Window
+    counts = df.groupBy(stratum_col).agg(F.count("*").alias("c_s"))
+    n_total = F.sum("c_s").over(Window.partitionBy(F.lit(1)))
+    base = (F.lit(total) * F.col("c_s") - F.pmod(
+        F.lit(total) * F.col("c_s"), n_total)) / n_total
+    rem = F.pmod(F.lit(total) * F.col("c_s"), n_total)
+    alloc = counts.select(
+        stratum_col, "c_s",
+        base.cast("long").alias("n_floor"),
+        rem.cast("long").alias("rem"),
+        (F.lit(total) - F.sum(base.cast("long")).over(
+            Window.partitionBy(F.lit(1)))).alias("leftover"))
+    w_rem = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("rem").desc(), F.col(stratum_col))
+    alloc = alloc.withColumn(
+        "n_s", F.col("n_floor")
+        + F.when(F.row_number().over(w_rem) <= F.col("leftover"), 1)
+           .otherwise(0))
+    pick = Window.partitionBy(stratum_col).orderBy(
+        portable_hash64(F.concat(F.lit("strat#"),
+                                 F.col(id_col).cast("string"))),
+        F.col(id_col))
+    return (df.join(F.broadcast(alloc.select(stratum_col, "n_s")),
+                    stratum_col)
+              .withColumn("_rn", F.row_number().over(pick))
+              .filter(F.col("_rn") <= F.col("n_s"))
+              .drop("_rn", "n_s"))
