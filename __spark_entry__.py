@@ -548,6 +548,23 @@ def q_window_rank(spark, sf):
         F.lead("event_id").over(w).alias("next_id"))
 
 
+def q_window_rank_variants(spark, sf):
+    """Distribution/tile window functions over the per-user event
+    stream: ntile quartiles, percent_rank, cume_dist (doubles rounded
+    to 6), and nth_value(3) over the running frame — the analytic
+    surface q_window_rank leaves out. One user-keyed window exchange
+    serves every function."""
+    ev = _t(spark, sf, "events")
+    w = _events_window()
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value("event_id", 3).over(running).alias("third_id"))
+
+
 def q_asof_join(spark, sf):
     # as-of join: latest signup value at-or-before each event (per user)
     from supersonic_spark.operators.asof import as_of_join
@@ -3145,7 +3162,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #  winnow_fingerprints, jaccard_prefix_join,
         #  conv_integrity_audit, conv_stats, sketch_count_min,
         #  text_normalize, bloom_prefilter_join, lm_perplexity,
-        #  stratified_sample, skyline_parts. All replica-green;
+        #  stratified_sample, skyline_parts, window_rank_variants.
+        #  All replica-green;
         #  their operator families are covered above)
         "scan_project": q_scan_project,
         "compute_expr": q_compute_expr,
@@ -3300,6 +3318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "stratified_sample": q_stratified_sample,
         "skyline_parts": q_skyline_parts,
+        "window_rank_variants": q_window_rank_variants,
     }
 
 

@@ -2719,3 +2719,18 @@ SELECT p.p_partkey, p.p_size, p.price_cents
 FROM p JOIN th USING (p_size)
 WHERE (m_gt IS NULL OR m_gt > price_cents) AND m_ge >= price_cents
 """
+
+# distribution/tile window functions — identical ordering key
+# (ts, event_id) makes every function deterministic
+ORACLES["window_rank_variants"] = """
+SELECT event_id,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       nth_value(event_id, 3) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS third_id
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""

@@ -122,3 +122,24 @@ def test_skyline_plan_no_cartesian_no_global_data_window(spark):
         .executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+# --- analytic window variants -------------------------------------------------
+
+def test_window_variants_tiny_exact(spark):
+    from pyspark.sql import Window
+    df = spark.createDataFrame(
+        [("u", i, 10 * i) for i in range(1, 5)], "k string, o int, v int")
+    w = Window.partitionBy("k").orderBy("o")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    got = {r["o"]: r.asDict() for r in df.select(
+        "o",
+        F.ntile(2).over(w).alias("t"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.nth_value("v", 3).over(run).alias("nv")).collect()}
+    assert [got[i]["t"] for i in range(1, 5)] == [1, 1, 2, 2]
+    assert [got[i]["pr"] for i in range(1, 5)] == [
+        0.0, round(1 / 3, 6), round(2 / 3, 6), 1.0]
+    assert [got[i]["cd"] for i in range(1, 5)] == [0.25, 0.5, 0.75, 1.0]
+    assert [got[i]["nv"] for i in range(1, 5)] == [None, None, 30, 30]
