@@ -548,6 +548,47 @@ def q_window_rank(spark, sf):
         F.lead("event_id").over(w).alias("next_id"))
 
 
+def q_rrf_hybrid_retrieval(spark, sf):
+    """Hybrid retrieval via reciprocal-rank fusion: BM25 top-50 for
+    {spark, window, hash} fused with cosine top-50 against query
+    vector 0 (embeddings restricted to doc-aligned ids by a semi join).
+    RRF consumes only ranks, so the heterogeneous scores need no
+    normalization. Output: top-20 (doc_id, rrf, n_lists)."""
+    import pyarrow.parquet as pq
+    from supersonic_spark.ann import cosine_topk
+    from supersonic_spark.text.retrieval import bm25_topk, rrf_fuse
+    d = _t(spark, sf, "documents")
+    lex = bm25_topk(d, ["spark", "window", "hash"], k=50)
+    qvec = pq.read_table(f"{sf}/embeddings.parquet") \
+             .column("embedding")[0].as_py()
+    e = (_t(spark, sf, "embeddings")
+         .join(d.select(F.col("doc_id").alias("vec_id")), "vec_id",
+               "left_semi"))
+    vec = (cosine_topk(e, qvec, 50)
+           .select(F.col("vec_id").alias("doc_id"),
+                   F.col("cos_sim").alias("score")))
+    return rrf_fuse([lex, vec], k0=60, k=20)
+
+
+def q_antientropy_diff(spark, sf):
+    """Anti-entropy bucket diff between documents and a corrupted
+    replica (rows %97 dropped, %101 edited, %211 re-keyed additions):
+    each side reduces to 4096 (bucket, count, XOR-of-row-hashes)
+    summaries; the full-outer join flags exactly the buckets needing
+    repair as added/removed/changed. Output: differing buckets only."""
+    from supersonic_spark.validate import table_diff_buckets
+    d = _t(spark, sf, "documents")
+    edited = F.when(F.col("doc_id") % 101 == 0,
+                    F.concat(F.col("text"), F.lit(" [edited]"))) \
+              .otherwise(F.col("text"))
+    b = (d.filter(F.col("doc_id") % 97 != 0)
+          .withColumn("text", edited))
+    extra = (d.filter(F.col("doc_id") % 211 == 0)
+              .withColumn("doc_id", F.col("doc_id") + 1000000))
+    return table_diff_buckets(d, b.unionAll(extra), "doc_id",
+                              ["text", "lang", "source"], n_buckets=4096)
+
+
 def q_window_rank_variants(spark, sf):
     """Distribution/tile window functions over the per-user event
     stream: ntile quartiles, percent_rank, cume_dist (doubles rounded
@@ -3162,7 +3203,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #  winnow_fingerprints, jaccard_prefix_join,
         #  conv_integrity_audit, conv_stats, sketch_count_min,
         #  text_normalize, bloom_prefilter_join, lm_perplexity,
-        #  stratified_sample, skyline_parts, window_rank_variants.
+        #  stratified_sample, skyline_parts, window_rank_variants,
+        #  rrf_hybrid_retrieval, antientropy_diff.
         #  All replica-green;
         #  their operator families are covered above)
         "scan_project": q_scan_project,
@@ -3319,6 +3361,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "skyline_parts": q_skyline_parts,
         "window_rank_variants": q_window_rank_variants,
+        # --- round-5 wave 5i: hybrid retrieval fusion / anti-entropy ---
+        "rrf_hybrid_retrieval": q_rrf_hybrid_retrieval,
+        "antientropy_diff": q_antientropy_diff,
     }
 
 

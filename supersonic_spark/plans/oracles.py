@@ -2734,3 +2734,87 @@ SELECT event_id,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
+
+# RRF fusion: both rankers' CTEs replayed (rounded scores, identical
+# (score desc, id) tie-break), ranks fused as sum 1/(60+rank)
+ORACLES["rrf_hybrid_retrieval"] = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok
+  WHERE token <> '' GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dlen FROM tf GROUP BY 1),
+st AS (SELECT avg(dlen) AS avgdl, count(*) AS n FROM dl),
+qt AS (SELECT * FROM tf WHERE token IN ('spark', 'window', 'hash')),
+dfx AS (SELECT token, count(*) AS df FROM qt GROUP BY 1),
+lex AS (
+  SELECT doc_id, round(SUM(
+           (ln(1.0e0 + (st.n - dfx.df + 0.5e0) / (dfx.df + 0.5e0))
+            * (qt.tf * 2.2e0))
+           / (qt.tf + 1.2e0 * (1.0e0 - 0.75e0
+                               + (0.75e0 * dl.dlen) / st.avgdl))), 4)
+           AS score
+  FROM qt JOIN dfx USING (token) JOIN dl USING (doc_id), st
+  GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 50),
+vec AS (
+  SELECT vec_id AS doc_id,
+         round(list_cosine_similarity(
+           embedding::DOUBLE[],
+           (SELECT embedding FROM embeddings WHERE vec_id = 0)
+             ::DOUBLE[]), 4) AS score
+  FROM embeddings
+  WHERE vec_id IN (SELECT doc_id FROM documents)
+  ORDER BY score DESC, doc_id LIMIT 50),
+ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+  FROM lex
+  UNION ALL
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+  FROM vec)
+SELECT doc_id, round(sum(1.0e0 / (60 + r)), 6) AS rrf,
+       CAST(count(*) AS BIGINT) AS n_lists
+FROM ranked GROUP BY doc_id
+ORDER BY rrf DESC, doc_id LIMIT 20
+"""
+
+# anti-entropy: both sides' (bucket, count, xor-of-row-hashes)
+# summaries replayed with the same md5 arithmetic and sentinels
+ORACLES["antientropy_diff"] = """
+WITH a AS (SELECT doc_id, text, lang, source FROM documents),
+b AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 101 = 0 THEN text || ' [edited]'
+              ELSE text END AS text,
+         lang, source
+  FROM documents WHERE doc_id % 97 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, text, lang, source
+  FROM documents WHERE doc_id % 211 = 0),
+sa AS (
+  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              ::BIGINT % 4096 AS INTEGER) AS bucket,
+         count(*) AS n_a,
+         bit_xor(('0x' || substr(md5(
+           CAST(doc_id AS VARCHAR) || chr(31) || coalesce(text, chr(1))
+           || chr(31) || coalesce(lang, chr(1)) || chr(31)
+           || coalesce(source, chr(1))), 1, 15))::BIGINT) AS x_a
+  FROM a GROUP BY 1),
+sb AS (
+  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              ::BIGINT % 4096 AS INTEGER) AS bucket,
+         count(*) AS n_b,
+         bit_xor(('0x' || substr(md5(
+           CAST(doc_id AS VARCHAR) || chr(31) || coalesce(text, chr(1))
+           || chr(31) || coalesce(lang, chr(1)) || chr(31)
+           || coalesce(source, chr(1))), 1, 15))::BIGINT) AS x_b
+  FROM b GROUP BY 1)
+SELECT bucket,
+       CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
+       CAST(coalesce(n_b, 0) AS BIGINT) AS n_b,
+       CASE WHEN n_a IS NULL THEN 'added'
+            WHEN n_b IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM sa FULL OUTER JOIN sb USING (bucket)
+WHERE n_a IS NULL OR n_b IS NULL OR n_a <> n_b OR x_a <> x_b
+"""

@@ -161,3 +161,36 @@ def inverted_index(docs: DataFrame, id_col: str = "doc_id",
     if max_df is not None:
         out = out.filter(F.col("df_docs") <= max_df)
     return out
+
+
+def rrf_fuse(rankings: list[DataFrame], id_col: str = "doc_id",
+             score_col: str = "score", k0: int = 60,
+             k: int = 20) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+    of N ranked lists — THE hybrid-retrieval combiner (lexical BM25 +
+    vector cosine in a RAG stack): fused(d) = sum over lists of
+    1/(k0 + rank_d), ranks 1-based by (score desc, id), documents
+    absent from a list simply contribute nothing. Returns the top-k
+    (id, rrf, n_lists) by (rrf desc, id).
+
+    Inputs must already be BOUNDED ranked lists (each ranker's top-k
+    output) — that is what makes the per-list rank window (global, no
+    partition key) safe: it sorts <= k rows, not the corpus. Ranks are
+    computed on the (rounded) scores the rankers emit, so a SQL engine
+    replays the fusion exactly; RRF itself only consumes ranks, which
+    is why it needs no score normalization across heterogeneous
+    rankers."""
+    from pyspark.sql import Window
+    tagged = []
+    for r in rankings:
+        w = Window.orderBy(F.col(score_col).desc(), F.col(id_col))
+        tagged.append(r.select(F.col(id_col),
+                               F.row_number().over(w).alias("_rank")))
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.unionAll(t)
+    fused = (u.groupBy(id_col)
+             .agg(F.round(F.sum(F.lit(1.0) / (F.lit(k0) + F.col("_rank"))),
+                          6).alias("rrf"),
+                  F.count("*").alias("n_lists")))
+    return fused.orderBy(F.col("rrf").desc(), id_col).limit(k)

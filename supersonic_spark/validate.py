@@ -133,3 +133,48 @@ def expectations_report(df: DataFrame, rules: list[dict]) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def table_diff_buckets(a: DataFrame, b: DataFrame, key_col: str,
+                       cols: list[str], n_buckets: int = 1024) -> DataFrame:
+    """Merkle-style anti-entropy diff: find WHICH key-hash buckets two
+    table versions/replicas disagree in, without shipping either table.
+    Each side reduces to n_buckets (bucket, n rows, XOR of row content
+    hashes) summaries — O(n_buckets) rows cross the wire, the
+    full-outer join of the summaries marks each differing bucket
+    added / removed / changed, and only those buckets need row-level
+    repair. XOR is order- and partitioning-independent and cannot
+    overflow; the standard caveat applies (an even number of identical
+    corruptions in one bucket cancels — at 60 hash bits the accidental
+    case is negligible).
+
+    Row content hash = portable 60-bit md5 over key + cols
+    (\\x1f-joined, NULL -> \\x01 sentinel), so any SQL engine audits
+    the same summaries. Output: (bucket, n_a, n_b, status) for differing
+    buckets only; an empty result certifies bucket-level equality."""
+    from supersonic_spark.text.analysis import portable_hash64
+
+    def summarize(df, n_name, x_name):
+        payload = F.concat_ws(
+            "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x01"))
+                      for c in [key_col, *cols]])
+        h = portable_hash64(payload)
+        bucket = F.pmod(portable_hash64(F.col(key_col).cast("string")),
+                        F.lit(n_buckets)).cast("int")
+        return (df.select(bucket.alias("bucket"), h.alias("_h"))
+                  .groupBy("bucket")
+                  .agg(F.count("*").alias(n_name),
+                       F.bit_xor("_h").alias(x_name)))
+    sa = summarize(a, "n_a", "x_a")
+    sb = summarize(b, "n_b", "x_b")
+    j = sa.join(sb, "bucket", "full_outer")
+    status = (F.when(F.col("n_a").isNull(), F.lit("added"))
+               .when(F.col("n_b").isNull(), F.lit("removed"))
+               .otherwise(F.lit("changed")))
+    return (j.filter(F.col("n_a").isNull() | F.col("n_b").isNull()
+                     | (F.col("n_a") != F.col("n_b"))
+                     | (F.col("x_a") != F.col("x_b")))
+             .select("bucket",
+                     F.coalesce("n_a", F.lit(0)).alias("n_a"),
+                     F.coalesce("n_b", F.lit(0)).alias("n_b"),
+                     status.alias("status")))
