@@ -3121,6 +3121,54 @@ def q_skyline_parts(spark, sf):
     return skyline2d(p, "p_size", "price_cents")
 
 
+def q_markov_role_transitions(spark, sf):
+    """First-order Markov role-transition matrix over the transcript
+    corpus (the north-rule input shape): lead(role) per conversation,
+    counted per (role, next_role) and normalized per source role — the
+    structural signature of a corpus and a cheap mix-drift alarm. One
+    conv_id window shuffle (shuffle-free on the bucketized layout) +
+    a |roles|^2-row aggregate. Output: (role, next_role, n, p)."""
+    from supersonic_spark.conversations import role_transitions
+    return role_transitions(_dirty_conv_view(spark, sf))
+
+
+def q_unpivot_melt(spark, sf):
+    """Wide->long melt via DataFrame.unpivot (native Expand, one pass,
+    no union-of-scans): per-priority order aggregates (count / exact
+    cents sum / cents max) melted to (priority, metric, value). The
+    inverse of pivot_agg; Expand emits 3 rows per input row in the same
+    stage, so the plan is a single aggregate + projection."""
+    o = _t(spark, sf, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    wide = (o.groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(cents).alias("sum_cents"),
+                 F.max(cents).alias("max_cents")))
+    return wide.unpivot("o_orderpriority",
+                        ["n_orders", "sum_cents", "max_cents"],
+                        "metric", "value")
+
+
+def q_percentile_exact_groups(spark, sf):
+    """Exact grouped percentiles (p50/p90/p99, linear interpolation)
+    of the integer-cents event value per event type — the exact twin of
+    the DDSketch gate, for group counts small enough to sort exactly.
+    Spark's `percentile` is a sort-based exact aggregate; DuckDB's
+    quantile_cont replays the same interpolation. Doubles rounded to 4.
+    Output: (event_type, n, p50, p90, p99)."""
+    e = _t(spark, sf, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    g = e.select("event_type", cents.alias("cents"))
+    return (g.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.percentile("cents", F.lit(0.5)), 4)
+                  .alias("p50"),
+                 F.round(F.percentile("cents", F.lit(0.9)), 4)
+                  .alias("p90"),
+                 F.round(F.percentile("cents", F.lit(0.99)), 4)
+                  .alias("p99")))
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3204,7 +3252,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #  conv_integrity_audit, conv_stats, sketch_count_min,
         #  text_normalize, bloom_prefilter_join, lm_perplexity,
         #  stratified_sample, skyline_parts, window_rank_variants,
-        #  rrf_hybrid_retrieval, antientropy_diff.
+        #  rrf_hybrid_retrieval, antientropy_diff,
+        #  markov_role_transitions, unpivot_melt,
+        #  percentile_exact_groups.
         #  All replica-green;
         #  their operator families are covered above)
         "scan_project": q_scan_project,
@@ -3364,6 +3414,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-5 wave 5i: hybrid retrieval fusion / anti-entropy ---
         "rrf_hybrid_retrieval": q_rrf_hybrid_retrieval,
         "antientropy_diff": q_antientropy_diff,
+        # --- round-5 wave 5j: transcript Markov matrix / melt /
+        #     exact grouped percentiles ---
+        "markov_role_transitions": q_markov_role_transitions,
+        "unpivot_melt": q_unpivot_melt,
+        "percentile_exact_groups": q_percentile_exact_groups,
     }
 
 

@@ -115,3 +115,32 @@ def _floor_div_us(span_us):
     with SQL engines' epoch arithmetic by ±1."""
     whole = span_us - F.pmod(span_us, F.lit(1_000_000))
     return (whole / F.lit(1_000_000)).cast("long")
+
+
+def role_transitions(conv: DataFrame,
+                     conv_col: str = "conv_id",
+                     idx_col: str = "turn_idx",
+                     role_col: str = "role") -> DataFrame:
+    """First-order Markov role-transition matrix over the transcript
+    corpus: for every adjacent turn pair inside a conversation, count
+    (role -> next_role) and normalize per source role. The empirical
+    P(next_role | role) is the structural signature of a corpus — agent
+    traces read user->assistant->tool->tool->assistant, chat corpora
+    alternate strictly — and a drifting matrix between two snapshots is
+    a cheap corpus-mix regression alarm.
+
+    Plan shape: one window shuffle on conv_col (shuffle-free on the
+    bucketized layout — the same key the encoder clusters by), one
+    (role, next_role) aggregate of at most |roles|^2 rows, and a
+    |roles|-partition window for the row normalization. No UDFs;
+    probabilities rounded to 6 for engine portability.
+    Output: (role, next_role, n, p)."""
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    pairs = (conv.select(F.col(role_col).alias("role"),
+                         F.lead(role_col).over(w).alias("next_role"))
+             .filter(F.col("next_role").isNotNull()))
+    per_src = Window.partitionBy("role")
+    return (pairs.groupBy("role", "next_role")
+            .agg(F.count("*").alias("n"))
+            .withColumn("p", F.round(F.col("n")
+                                     / F.sum("n").over(per_src), 6)))

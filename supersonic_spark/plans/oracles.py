@@ -2818,3 +2818,61 @@ SELECT bucket,
 FROM sa FULL OUTER JOIN sb USING (bucket)
 WHERE n_a IS NULL OR n_b IS NULL OR n_a <> n_b OR x_a <> x_b
 """
+
+# Markov role transitions: the dirty conversation view replayed (same
+# CTE as conv_stats), lead(role) pairs, per-source-role normalization
+ORACLES["markov_role_transitions"] = """
+WITH base AS (
+  SELECT 'c' || user_id AS conv_id, event_id, ts,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) - 1 AS rn
+  FROM events),
+v AS (
+  SELECT conv_id, rn AS turn_idx,
+         CASE WHEN event_id % 13 = 0 THEN 'assistant'
+              WHEN rn % 2 = 0 THEN 'user' ELSE 'assistant' END AS role
+  FROM base WHERE event_id % 7 <> 0),
+pairs AS (
+  SELECT role,
+         lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS next_role
+  FROM v),
+cnt AS (
+  SELECT role, next_role, count(*) AS n
+  FROM pairs WHERE next_role IS NOT NULL GROUP BY 1, 2)
+SELECT role, next_role, CAST(n AS BIGINT) AS n,
+       round(n / sum(n) OVER (PARTITION BY role), 6) AS p
+FROM cnt
+"""
+
+# melt replayed as UNION ALL over the wide aggregate (DuckDB's UNPIVOT
+# would also work; UNION ALL keeps the oracle engine-agnostic)
+ORACLES["unpivot_melt"] = """
+WITH w AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice*100, 0) AS BIGINT))
+              AS BIGINT) AS sum_cents,
+         CAST(max(CAST(round(o_totalprice*100, 0) AS BIGINT))
+              AS BIGINT) AS max_cents
+  FROM orders GROUP BY 1)
+SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM w
+UNION ALL
+SELECT o_orderpriority, 'sum_cents', sum_cents FROM w
+UNION ALL
+SELECT o_orderpriority, 'max_cents', max_cents FROM w
+"""
+
+# exact linear-interpolation percentiles: Spark percentile() and DuckDB
+# quantile_cont() both take value[floor(h)] + frac*(next - value) at
+# h = p*(n-1); integer-cents input keeps the arithmetic identical
+ORACLES["percentile_exact_groups"] = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(quantile_cont(CAST(round(value*100, 0) AS BIGINT), 0.5),
+             4) AS p50,
+       round(quantile_cont(CAST(round(value*100, 0) AS BIGINT), 0.9),
+             4) AS p90,
+       round(quantile_cont(CAST(round(value*100, 0) AS BIGINT), 0.99),
+             4) AS p99
+FROM events GROUP BY 1
+"""

@@ -1,0 +1,85 @@
+"""Round-5 wave 5j: Markov role transitions, unpivot melt, exact
+grouped percentiles."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+# --- role transition matrix -------------------------------------------------
+
+def _conv(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string")
+
+
+def test_role_transitions_counts_and_probs(spark):
+    from supersonic_spark.conversations import role_transitions
+    # c1: user -> assistant -> tool -> assistant
+    # c2: user -> assistant -> user  (turn order shuffled in input)
+    rows = [("c1", 0, "user"), ("c1", 1, "assistant"),
+            ("c1", 2, "tool"), ("c1", 3, "assistant"),
+            ("c2", 2, "user"), ("c2", 0, "user"), ("c2", 1, "assistant")]
+    got = {(r["role"], r["next_role"]): (r["n"], r["p"])
+           for r in role_transitions(_conv(spark, rows)).collect()}
+    assert got[("user", "assistant")] == (2, 1.0)
+    assert got[("assistant", "tool")] == (1, 0.5)
+    assert got[("assistant", "user")] == (1, 0.5)
+    # c1 turn 3 assistant has no successor; c2's does (turn 1 -> 2)
+    assert ("tool", "assistant") in got and got[("tool", "assistant")][0] == 1
+    # per-source probabilities sum to 1
+    import collections
+    by_src = collections.defaultdict(float)
+    for (src, _), (_, p) in got.items():
+        by_src[src] += p
+    for src, tot in by_src.items():
+        assert abs(tot - 1.0) < 1e-6, (src, tot)
+
+
+def test_role_transitions_crosses_conversations_never(spark):
+    from supersonic_spark.conversations import role_transitions
+    # last turn of c1 is 'tool', first of c2 is 'user' — a cross-conv
+    # leak would fabricate a (tool -> user) pair
+    rows = [("c1", 0, "user"), ("c1", 1, "tool"),
+            ("c2", 0, "user"), ("c2", 1, "assistant")]
+    got = {(r["role"], r["next_role"]) for r in
+           role_transitions(_conv(spark, rows)).collect()}
+    assert ("tool", "user") not in got
+    assert got == {("user", "tool"), ("user", "assistant")}
+
+
+# --- unpivot melt -------------------------------------------------------------
+
+def test_unpivot_is_exact_inverse_of_wide(spark):
+    wide = spark.createDataFrame(
+        [("A", 3, 100, 60), ("B", 1, 40, 40)],
+        "k string, n_orders long, sum_cents long, max_cents long")
+    out = wide.unpivot("k", ["n_orders", "sum_cents", "max_cents"],
+                       "metric", "value").collect()
+    got = {(r["k"], r["metric"]): r["value"] for r in out}
+    assert len(out) == 6
+    assert got[("A", "n_orders")] == 3 and got[("A", "sum_cents")] == 100
+    assert got[("B", "max_cents")] == 40
+
+
+def test_unpivot_plan_is_single_expand_no_union(spark):
+    wide = spark.createDataFrame(
+        [("A", 1, 2, 3)], "k string, a long, b long, c long")
+    plan = (wide.unpivot("k", ["a", "b", "c"], "metric", "value")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Expand" in plan and "Union" not in plan
+
+
+# --- exact grouped percentiles -------------------------------------------------
+
+def test_percentile_matches_numpy_linear_interpolation(spark):
+    import numpy as np
+    vals = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5]
+    df = spark.createDataFrame([("g", v) for v in vals],
+                               "g string, cents long")
+    row = (df.groupBy("g")
+           .agg(F.round(F.percentile("cents", F.lit(0.5)), 4).alias("p50"),
+                F.round(F.percentile("cents", F.lit(0.9)), 4).alias("p90"))
+           .collect()[0])
+    assert row["p50"] == round(float(np.percentile(vals, 50)), 4)
+    assert row["p90"] == round(float(np.percentile(vals, 90)), 4)
