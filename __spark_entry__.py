@@ -3169,6 +3169,47 @@ def q_percentile_exact_groups(spark, sf):
                   .alias("p99")))
 
 
+def _agent_conv_view(spark, sf):
+    """Agent-trace-shaped view of events for the tool-run analytics:
+    click/error events become 'tool' turns (so consecutive tool runs
+    exist), the rest alternate user/assistant by position."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (e.select(
+        F.concat(F.lit("c"), F.col("user_id")).alias("conv_id"),
+        "event_type",
+        (F.row_number().over(w) - 1).alias("turn_idx"))
+        .select(
+            "conv_id", "turn_idx",
+            F.when(F.col("event_type").isin("click", "error"), F.lit("tool"))
+             .otherwise(F.when(F.col("turn_idx") % 2 == 0, F.lit("user"))
+                         .otherwise(F.lit("assistant"))).alias("role")))
+
+
+def q_conv_tool_runs(spark, sf):
+    """Gaps-and-islands agent-loop detector: per conversation, the
+    longest consecutive tool-turn run, run count, and tool-turn total
+    over the agent-trace view. Both row_number windows share one
+    conv_id exchange. Output: (conv_id, max_tool_run, n_tool_runs,
+    n_tool_turns)."""
+    from supersonic_spark.conversations import longest_tool_runs
+    return longest_tool_runs(_agent_conv_view(spark, sf))
+
+
+def q_dedup_editdist_verify(spark, sf):
+    """Candidate-verify dedup stage: LSH banding candidates (same
+    parameters as the dedup_lsh_pairs gate) confirmed by exact
+    Levenshtein distance — at most one edit per 5 characters of the
+    longer text, all-integer arithmetic. Output: (id_a, id_b,
+    edit_dist, confirmed) for every candidate pair."""
+    from supersonic_spark.text.dedup import (editdist_verify_pairs,
+                                             minhash_lsh_pairs)
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    pairs = minhash_lsh_pairs(d, "text", "doc_id", k=8, bands=4,
+                              shingle_n=1).drop("n_bands")
+    return editdist_verify_pairs(d, pairs, "text", "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3254,7 +3295,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #  stratified_sample, skyline_parts, window_rank_variants,
         #  rrf_hybrid_retrieval, antientropy_diff,
         #  markov_role_transitions, unpivot_melt,
-        #  percentile_exact_groups.
+        #  percentile_exact_groups, conv_tool_runs,
+        #  dedup_editdist_verify.
         #  All replica-green;
         #  their operator families are covered above)
         "scan_project": q_scan_project,
@@ -3419,6 +3461,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_role_transitions": q_markov_role_transitions,
         "unpivot_melt": q_unpivot_melt,
         "percentile_exact_groups": q_percentile_exact_groups,
+        # --- round-5 wave 5k: agent tool-run islands / edit-distance
+        #     dedup verification ---
+        "conv_tool_runs": q_conv_tool_runs,
+        "dedup_editdist_verify": q_dedup_editdist_verify,
     }
 
 

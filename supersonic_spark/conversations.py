@@ -144,3 +144,35 @@ def role_transitions(conv: DataFrame,
             .agg(F.count("*").alias("n"))
             .withColumn("p", F.round(F.col("n")
                                      / F.sum("n").over(per_src), 6)))
+
+
+def longest_tool_runs(conv: DataFrame,
+                      conv_col: str = "conv_id",
+                      idx_col: str = "turn_idx",
+                      role_col: str = "role",
+                      run_role: str = "tool") -> DataFrame:
+    """Gaps-and-islands over agent traces: consecutive runs of
+    ``run_role`` turns per conversation (an agent burning 14 tool calls
+    in a row is a loop signature; the run-length distribution is a core
+    agent-behavior metric). Island id = global row_number minus the
+    row_number among run_role rows — constant exactly within a
+    consecutive run, even when turn_idx has gaps.
+
+    Plan shape: both windows share ONE conv_col sort order, so Spark
+    plans a single window exchange (shuffle-free on the bucketized
+    layout); the run table that follows is O(runs), not O(turns).
+    Output: (conv_id, max_tool_run, n_tool_runs, n_tool_turns), only
+    for conversations containing at least one run_role turn."""
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    rn = conv.select(F.col(conv_col), F.col(idx_col), F.col(role_col),
+                     F.row_number().over(w).alias("_rn"))
+    tool = (rn.filter(F.col(role_col) == run_role)
+            .select(F.col(conv_col),
+                    (F.col("_rn") - F.row_number().over(w))
+                    .alias("_island")))
+    runs = (tool.groupBy(conv_col, "_island")
+            .agg(F.count("*").alias("_len")))
+    return (runs.groupBy(F.col(conv_col).alias("conv_id"))
+            .agg(F.max("_len").alias("max_tool_run"),
+                 F.count("*").alias("n_tool_runs"),
+                 F.sum("_len").alias("n_tool_turns")))

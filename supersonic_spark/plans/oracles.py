@@ -2876,3 +2876,66 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n,
              4) AS p99
 FROM events GROUP BY 1
 """
+
+# gaps-and-islands: island id = global row_number - run-role row_number,
+# constant within a consecutive tool run
+ORACLES["conv_tool_runs"] = """
+WITH base AS (
+  SELECT 'c' || user_id AS conv_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) - 1 AS turn_idx
+  FROM events),
+v AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN event_type IN ('click', 'error') THEN 'tool'
+              WHEN turn_idx % 2 = 0 THEN 'user'
+              ELSE 'assistant' END AS role
+  FROM base),
+r AS (
+  SELECT conv_id, turn_idx, role,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS rn_all
+  FROM v),
+t AS (
+  SELECT conv_id,
+         rn_all - row_number() OVER (PARTITION BY conv_id
+                                     ORDER BY turn_idx) AS island
+  FROM r WHERE role = 'tool'),
+runs AS (
+  SELECT conv_id, island, count(*) AS len FROM t GROUP BY 1, 2)
+SELECT conv_id, CAST(max(len) AS BIGINT) AS max_tool_run,
+       CAST(count(*) AS BIGINT) AS n_tool_runs,
+       CAST(sum(len) AS BIGINT) AS n_tool_turns
+FROM runs GROUP BY 1
+"""
+
+# LSH candidates (same CTE as dedup_lsh_pairs) verified by exact
+# Levenshtein distance: confirmed iff dist*5 <= longer text's length
+ORACLES["dedup_editdist_verify"] = f"""
+WITH toks AS (
+  SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS t
+  FROM documents WHERE doc_id < 200),
+sh AS (
+  SELECT doc_id, unnest(t) AS shingle FROM toks),
+hashed AS (
+  SELECT doc_id, k.i AS i,
+         {_H.format(x="shingle || '#' || k.i")} AS h
+  FROM sh, UNNEST(generate_series(0, 7)) AS k(i)),
+sig AS (SELECT doc_id, i, MIN(h) AS minhash FROM hashed GROUP BY doc_id, i),
+banded AS (
+  SELECT doc_id, CAST(i // 2 AS INTEGER) AS band,
+         string_agg(i || ':' || minhash, ',' ORDER BY i) AS band_key
+  FROM sig GROUP BY doc_id, band),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT p.id_a, p.id_b,
+       CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+       levenshtein(da.text, db.text) * 5
+         <= greatest(length(da.text), length(db.text)) AS confirmed
+FROM pairs p
+JOIN documents da ON da.doc_id = p.id_a
+JOIN documents db ON db.doc_id = p.id_b
+"""

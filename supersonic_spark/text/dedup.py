@@ -285,3 +285,30 @@ def jaccard_prefix_pairs(df: DataFrame, text_col: str, id_col: str,
                 / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4))
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))
+
+
+def editdist_verify_pairs(df: DataFrame, pairs: DataFrame,
+                          text_col: str, id_col: str,
+                          max_dist_per_5_chars: int = 1) -> DataFrame:
+    """Exact edit-distance confirm stage after LSH banding — the
+    classic candidate-verify step: join each candidate pair back to its
+    two texts and compute the true Levenshtein distance, confirming
+    pairs with dist*5 <= max(len_a, len_b) (i.e. at most one edit per 5
+    characters of the longer text; all-integer arithmetic so every
+    engine agrees). MinHash banding over-generates on short docs — this
+    bounds the false-positive rate with exact evidence, and the cost is
+    O(|candidates| * len^2), safe because banding already cut the pair
+    space. Two broadcast-sized joins against the (id, text) projection;
+    no shuffle beyond the pair table's own key exchange.
+    Output: (id_a, id_b, edit_dist, confirmed)."""
+    t = df.select(F.col(id_col), F.col(text_col))
+    a = t.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta"))
+    b = t.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    dist = F.levenshtein("_ta", "_tb")
+    longer = F.greatest(F.length("_ta"), F.length("_tb"))
+    return joined.select(
+        "id_a", "id_b",
+        dist.cast("long").alias("edit_dist"),
+        (dist * F.lit(5) <= longer * F.lit(max_dist_per_5_chars))
+        .alias("confirmed"))

@@ -83,3 +83,53 @@ def test_percentile_matches_numpy_linear_interpolation(spark):
            .collect()[0])
     assert row["p50"] == round(float(np.percentile(vals, 50)), 4)
     assert row["p90"] == round(float(np.percentile(vals, 90)), 4)
+
+
+# --- wave 5k: tool-run islands -------------------------------------------------
+
+def test_longest_tool_runs_islands(spark):
+    from supersonic_spark.conversations import longest_tool_runs
+    # c1 roles: user tool tool tool assistant tool user -> runs 3, 1
+    # c2: no tool turns -> absent from output
+    rows = ([("c1", i, r) for i, r in enumerate(
+        ["user", "tool", "tool", "tool", "assistant", "tool", "user"])]
+        + [("c2", 0, "user"), ("c2", 1, "assistant")])
+    out = {r["conv_id"]: r.asDict() for r in
+           longest_tool_runs(_conv(spark, rows)).collect()}
+    assert set(out) == {"c1"}
+    assert out["c1"]["max_tool_run"] == 3
+    assert out["c1"]["n_tool_runs"] == 2
+    assert out["c1"]["n_tool_turns"] == 4
+
+
+def test_longest_tool_runs_survives_turn_idx_gaps(spark):
+    from supersonic_spark.conversations import longest_tool_runs
+    # turn indices 0,5,9 are CONSECUTIVE turns (gaps from upstream
+    # filtering) — the island id uses row numbers, not turn_idx deltas
+    rows = [("c1", 0, "tool"), ("c1", 5, "tool"), ("c1", 9, "tool")]
+    out = longest_tool_runs(_conv(spark, rows)).collect()[0]
+    assert out["max_tool_run"] == 3 and out["n_tool_runs"] == 1
+
+
+def test_longest_tool_runs_single_window_exchange(spark):
+    from supersonic_spark.conversations import longest_tool_runs
+    df = longest_tool_runs(_conv(spark, [("c1", 0, "tool")]))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # both row_numbers ride one conv_id sort: exactly one hashpartition
+    # exchange on conv_id before the aggregates
+    assert plan.count("Window") >= 1 and "CartesianProduct" not in plan
+
+
+# --- wave 5k: edit-distance verify ---------------------------------------------
+
+def test_editdist_verify_exact_distances_and_threshold(spark):
+    from supersonic_spark.text.dedup import editdist_verify_pairs
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "abcdefghiX"), (3, "zzzzzzzzzz")],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    got = {(r["id_a"], r["id_b"]): (r["edit_dist"], r["confirmed"])
+           for r in editdist_verify_pairs(docs, pairs, "text",
+                                          "doc_id").collect()}
+    assert got[(1, 2)] == (1, True)     # 1 edit * 5 <= 10
+    assert got[(1, 3)] == (10, False)   # 10 edits * 5 > 10
