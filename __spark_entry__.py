@@ -3210,6 +3210,26 @@ def q_dedup_editdist_verify(spark, sf):
     return editdist_verify_pairs(d, pairs, "text", "doc_id")
 
 
+def q_conv_merge_turns(spark, sf):
+    """Consecutive same-role turn coalescing over the dirty transcript
+    view (whose %13 role forcing creates real assistant/assistant
+    runs): island = running sum of role-change flags, texts re-joined
+    in turn order. Output: (conv_id, turn_idx, role, text, n_merged)."""
+    from supersonic_spark.conversations import merge_consecutive_turns
+    v = _dirty_conv_view(spark, sf).withColumn(
+        "text", F.coalesce(F.col("text"), F.lit("")))
+    return merge_consecutive_turns(v)
+
+
+def q_text_char_entropy(spark, sf):
+    """Character-distribution Shannon entropy per document — the cheap
+    gibberish/binary quality signal; map-side partial agg caps the
+    shuffle at O(docs x distinct-chars). Output: (doc_id, n_chars,
+    entropy bits rounded 4)."""
+    from supersonic_spark.text.analysis import char_entropy
+    return char_entropy(_t(spark, sf, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3296,7 +3316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #  rrf_hybrid_retrieval, antientropy_diff,
         #  markov_role_transitions, unpivot_melt,
         #  percentile_exact_groups, conv_tool_runs,
-        #  dedup_editdist_verify.
+        #  dedup_editdist_verify, conv_merge_turns,
+        #  text_char_entropy.
         #  All replica-green;
         #  their operator families are covered above)
         "scan_project": q_scan_project,
@@ -3465,6 +3486,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     dedup verification ---
         "conv_tool_runs": q_conv_tool_runs,
         "dedup_editdist_verify": q_dedup_editdist_verify,
+        # --- round-5 wave 5l: turn coalescing / char-entropy quality ---
+        "conv_merge_turns": q_conv_merge_turns,
+        "text_char_entropy": q_text_char_entropy,
     }
 
 

@@ -176,3 +176,43 @@ def longest_tool_runs(conv: DataFrame,
             .agg(F.max("_len").alias("max_tool_run"),
                  F.count("*").alias("n_tool_runs"),
                  F.sum("_len").alias("n_tool_turns")))
+
+
+def merge_consecutive_turns(conv: DataFrame,
+                            conv_col: str = "conv_id",
+                            idx_col: str = "turn_idx",
+                            role_col: str = "role",
+                            text_col: str = "text",
+                            sep: str = "\n") -> DataFrame:
+    """Coalesce consecutive same-role turns into one turn — the
+    standard transcript-preprocessing step before training-format
+    assembly (a user double-send or an agent's tool/tool/tool burst
+    becomes a single turn whose text is the run's texts joined by
+    ``sep``). Island id = running sum of role-change flags, so runs are
+    delimited by actual role changes, not turn_idx arithmetic.
+
+    Plan shape: the lag flag and the running sum share one
+    (conv_col, idx_col) sort — a single window exchange — and the
+    merge aggregate keys on (conv, island). Within-island text order
+    is restored by array_sort over (idx, text) structs, never by
+    partition order. Output: (conv_id, turn_idx, role, text, n_merged)
+    with turn_idx = the run's first index."""
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    chg = F.when(F.lag(role_col).over(w).isNull()
+                 | (F.lag(role_col).over(w) != F.col(role_col)),
+                 F.lit(1)).otherwise(F.lit(0))
+    flagged = conv.select(F.col(conv_col), F.col(idx_col),
+                          F.col(role_col), F.col(text_col),
+                          chg.alias("_chg"))
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    isl = flagged.withColumn("_island", F.sum("_chg").over(run))
+    ordered = F.array_sort(F.collect_list(
+        F.struct(F.col(idx_col).alias("i"), F.col(text_col).alias("t"))))
+    return (isl.groupBy(conv_col, "_island")
+            .agg(F.min(idx_col).alias("turn_idx"),
+                 F.min(role_col).alias("role"),
+                 F.array_join(F.transform(ordered, lambda s: s["t"]),
+                              sep).alias("text"),
+                 F.count("*").alias("n_merged"))
+            .select(F.col(conv_col).alias("conv_id"), "turn_idx",
+                    "role", "text", "n_merged"))

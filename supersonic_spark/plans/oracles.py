@@ -2939,3 +2939,50 @@ FROM pairs p
 JOIN documents da ON da.doc_id = p.id_a
 JOIN documents db ON db.doc_id = p.id_b
 """
+
+# consecutive same-role runs: island = running sum of change flags,
+# texts re-joined in turn order by string_agg ORDER BY
+ORACLES["conv_merge_turns"] = """
+WITH base AS (
+  SELECT 'c' || user_id AS conv_id, event_id, ts, props,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) - 1 AS rn
+  FROM events),
+v AS (
+  SELECT conv_id, rn AS turn_idx,
+         CASE WHEN event_id % 13 = 0 THEN 'assistant'
+              WHEN rn % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         coalesce(CASE WHEN event_id % 17 = 0 THEN '  '
+                       ELSE props END, '') AS text
+  FROM base WHERE event_id % 7 <> 0),
+flagged AS (
+  SELECT conv_id, turn_idx, role, text,
+         CASE WHEN lag(role) OVER (PARTITION BY conv_id
+                                   ORDER BY turn_idx) IS DISTINCT
+                   FROM role THEN 1 ELSE 0 END AS chg
+  FROM v),
+isl AS (
+  SELECT conv_id, turn_idx, role, text,
+         sum(chg) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged)
+SELECT conv_id, min(turn_idx) AS turn_idx, min(role) AS role,
+       string_agg(text, chr(10) ORDER BY turn_idx) AS text,
+       CAST(count(*) AS BIGINT) AS n_merged
+FROM isl GROUP BY conv_id, island
+"""
+
+# per-doc character entropy: identical char split (empty separator
+# chars both engines), per-(doc,char) counts, -sum(p*log2 p)
+ORACLES["text_char_entropy"] = """
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+counts AS (
+  SELECT doc_id, ch, count(*) AS c FROM chars
+  WHERE ch <> '' GROUP BY 1, 2),
+t AS (
+  SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM counts)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+       round(-sum((c / n) * log2(c / n)), 4) AS entropy
+FROM t GROUP BY doc_id
+"""

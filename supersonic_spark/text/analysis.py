@@ -138,3 +138,30 @@ def normalize_text(col: Column, lowercase: bool = False) -> Column:
     x = F.regexp_replace(x, "[\\x00-\\x1F\\x7F\\u0080-\\u009F]", " ")
     x = F.trim(F.regexp_replace(x, " +", " "))
     return F.lower(x) if lowercase else x
+
+
+def char_entropy(df, text_col: str = "text",
+                 id_col: str = "doc_id"):
+    """Per-document Shannon entropy of the character distribution —
+    the classic cheap gibberish/binary detector (natural prose sits
+    ~4.0-4.5 bits/char; base64 blobs and repeated filler fall far
+    outside). Explode-to-chars feeds a (doc, char) aggregate whose
+    map-side partial combine caps the shuffle at
+    O(docs x distinct-chars), NOT O(total characters) — the partial
+    agg is what makes the pattern safe at corpus scale. Entropy is
+    folded per doc with the total carried by a doc-keyed window on the
+    already-tiny counts table. Output: (id, n_chars, entropy), entropy
+    in bits rounded to 4. Empty/whitespace-only docs are absent (no
+    characters to score)."""
+    from pyspark.sql import Window
+    chars = (df.select(F.col(id_col),
+                       F.explode(F.split(F.col(text_col), "")).alias("ch"))
+             .filter(F.col("ch") != ""))
+    counts = chars.groupBy(id_col, "ch").agg(F.count("*").alias("c"))
+    n = F.sum("c").over(Window.partitionBy(id_col))
+    p = F.col("c") / n
+    return (counts.select(F.col(id_col), F.col("c"), n.alias("n"),
+                          (p * F.log2(p)).alias("_plp"))
+            .groupBy(id_col)
+            .agg(F.sum("c").alias("n_chars"),
+                 F.round(-F.sum("_plp"), 4).alias("entropy")))

@@ -133,3 +133,46 @@ def test_editdist_verify_exact_distances_and_threshold(spark):
                                           "doc_id").collect()}
     assert got[(1, 2)] == (1, True)     # 1 edit * 5 <= 10
     assert got[(1, 3)] == (10, False)   # 10 edits * 5 > 10
+
+
+# --- wave 5l: turn coalescing / char entropy -----------------------------------
+
+def test_merge_consecutive_turns_exact(spark):
+    from supersonic_spark.conversations import merge_consecutive_turns
+    rows = [("c1", 0, "user", "hi"), ("c1", 1, "user", "there"),
+            ("c1", 2, "assistant", "yo"), ("c1", 3, "user", "bye"),
+            ("c2", 0, "tool", "a"), ("c2", 1, "tool", "b"),
+            ("c2", 2, "tool", "c")]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string")
+    out = {(r["conv_id"], r["turn_idx"]): r.asDict()
+           for r in merge_consecutive_turns(df).collect()}
+    assert out[("c1", 0)]["text"] == "hi\nthere"
+    assert out[("c1", 0)]["n_merged"] == 2
+    assert out[("c1", 2)]["text"] == "yo" and out[("c1", 2)]["n_merged"] == 1
+    assert out[("c1", 3)]["role"] == "user"     # same role, NOT adjacent
+    assert out[("c2", 0)]["text"] == "a\nb\nc"
+    assert len(out) == 4
+
+
+def test_merge_consecutive_turns_order_under_repartition(spark):
+    from supersonic_spark.conversations import merge_consecutive_turns
+    rows = [("c1", i, "user", f"t{i}") for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    ).repartition(8)
+    out = merge_consecutive_turns(df).collect()
+    assert len(out) == 1
+    assert out[0]["text"] == "\n".join(f"t{i}" for i in range(20))
+
+
+def test_char_entropy_known_values(spark):
+    import math
+    from supersonic_spark.text.analysis import char_entropy
+    df = spark.createDataFrame([(1, "aaaa"), (2, "ab"), (3, "aabb")],
+                               "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_chars"], r["entropy"])
+           for r in char_entropy(df).collect()}
+    assert got[1] == (4, 0.0)           # single symbol: zero entropy
+    assert got[2] == (2, 1.0)           # two equiprobable symbols: 1 bit
+    assert got[3] == (4, 1.0)
