@@ -59,6 +59,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Fan a narrow scan out to the session's parallelism before
+    CPU-heavy per-row work (regex/md5/explode/codec kernels). The
+    testdata tables are single-row-group parquet files, so their scans
+    are 1-task no matter the split size; everything computed inside that
+    scan stage runs on one core of 32. One round-robin exchange of the
+    (small) input buys full-width whole-stage codegen for the expensive
+    projection (guide §2.4: shuffle a lightweight input once so the
+    heavy compute parallelizes). No-op when the scan already has enough
+    partitions (a real cluster's many-file table)."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n) if df.rdd.getNumPartitions() < n else df
+
+
 def _cents(col):
     """Exact integer cents from a 2-dp double — portable across engines."""
     return F.round(col * 100, 0).cast("long")
@@ -267,13 +281,25 @@ def q_group_agg_with_limit(spark, sf):
 
 
 def q_multi_distinct_rewrite(spark, sf):
-    # multiple DISTINCT aggregations in one pass — the hybrid transform
-    # (hybrid_group_utils.h:22-70); Spark's Expand rewrite does it natively
+    # multiple DISTINCT aggregations — the hybrid transform
+    # (hybrid_group_utils.h:22-70). Spark's native Expand rewrite triples
+    # every row and pushes 3x-wide keys through two hash-aggregate
+    # passes; three independent single-distinct aggregates (each a
+    # narrow partial-dedup -> tiny exchange) joined on the group key run
+    # as parallel stages and were measured 1.6x faster at sf1.0
+    # (2.34 s -> 1.46 s interleaved medians; see OPTIMIZATION_r06.md).
+    # Identical results: each aggregate groups the same rows, and the
+    # TPC-H returnflag domain is non-null, so the inner equi joins on
+    # the group key lose nothing.
     li = _t(spark, sf, "lineitem")
-    return (li.groupBy("l_returnflag")
-            .agg(F.countDistinct("l_partkey").alias("d_parts"),
-                 F.countDistinct("l_suppkey").alias("d_supps"),
-                 F.countDistinct("l_orderkey").alias("d_orders")))
+    a = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("d_parts"))
+    b = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("d_supps"))
+    c = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("d_orders"))
+    return (a.join(b, "l_returnflag").join(c, "l_returnflag")
+            .select("l_returnflag", "d_parts", "d_supps", "d_orders"))
 
 
 def q_avg_composed(spark, sf):
@@ -998,7 +1024,7 @@ def q_text_token_count(spark, sf):
 
 def q_text_quality(spark, sf):
     from supersonic_spark.text import quality_score
-    d = _t(spark, sf, "documents")
+    d = _spread(_t(spark, sf, "documents"))
     return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
 
 
@@ -1152,7 +1178,10 @@ def q_codec_roundtrip_docs(spark, sf):
             out, _ = decode_block(buf)
             yield from out.to_batches()
 
-    d = _t(spark, sf, "documents").repartition(4)
+    # fan out to the session's parallelism (was a fixed 4): the codec
+    # kernel is pure per-partition CPU, so task count == usable cores
+    d = _t(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
     return d.mapInArrow(rt, schema=d.schema)
 
 

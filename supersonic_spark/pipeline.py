@@ -660,11 +660,19 @@ def _record_manifest_size(spark: SparkSession, out_dir: str,
     encode time, so every predicated decode can pick the set-path vs
     join-path pruning branch from metadata instead of running its own
     manifest aggregation job (a fixed Spark-job tax on the point-lookup
-    hot path)."""
-    r = manifest.agg(F.count("*").alias("n"),
-                     F.countDistinct("column").alias("c")).collect()[0]
-    meta["manifest_rows"] = int(r["n"])
-    meta["manifest_columns"] = int(max(r["c"], 1))
+    hot path). Counts come from the parquet footers driver-side — no
+    Spark job: row count is the footer sum, and the distinct `column`
+    count equals the encoded schema's column count (every chunk emits
+    exactly one manifest row per column)."""
+    import pyarrow.parquet as pq
+    mdir = os.path.join(out_dir, "manifest")
+    n = 0
+    for p in os.listdir(mdir):
+        if p.endswith(".parquet"):
+            n += pq.read_metadata(os.path.join(mdir, p)).num_rows
+    n_cols = len(meta["spark_schema"].get("fields", [])) or 1
+    meta["manifest_rows"] = int(n)
+    meta["manifest_columns"] = int(n_cols)
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(meta, f, indent=1)
 
