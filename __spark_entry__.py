@@ -181,15 +181,24 @@ def q_rowid_merge_join(spark, sf):
 
 
 def q_lookup_index_multimatch(spark, sf):
-    # 0..n matches per probe (lookup_index.h:29-58)
+    # 0..n matches per probe (lookup_index.h:29-58). The per-partkey
+    # aggregation runs BEFORE the probe (guide §2.3 "aggregate before
+    # you shuffle"): counts/sums are key-local, so aggregating the fact
+    # side first shrinks the probe input 6M -> 200k rows and keeps the
+    # string brand out of the aggregate hash keys — measured
+    # 1.19 s -> 0.69 s warm at sf1.0 (interleaved medians). Identical
+    # results: p_partkey is unique in part (PK), so grouping the joined
+    # rows by (p_partkey, p_brand) equals grouping the fact side by
+    # partkey and probing once per group.
     from supersonic_spark.operators import lookup_index
     p = _t(spark, sf, "part").select("p_partkey", "p_brand")
     li = _t(spark, sf, "lineitem").select(
         F.col("l_partkey").alias("p_partkey"), "l_quantity")
-    probed = lookup_index(p, li, ["p_partkey"], "p_partkey")
-    return (probed.groupBy("p_partkey", "p_brand")
-            .agg(F.count("*").alias("n_matches"),
-                 F.sum(F.col("l_quantity").cast("long")).alias("sum_qty")))
+    agg = (li.groupBy("p_partkey")
+           .agg(F.count("*").alias("n_matches"),
+                F.sum(F.col("l_quantity").cast("long")).alias("sum_qty")))
+    return (lookup_index(agg, p, ["p_partkey"], "p_partkey")
+            .select("p_partkey", "p_brand", "n_matches", "sum_qty"))
 
 
 def q_coalesce_zip(spark, sf):
@@ -1053,6 +1062,9 @@ def q_curate_corpus(spark, sf):
     filtered = (d.withColumn("q", quality_score(F.col("text")))
                  .withColumn("lg", langid_expr(F.col("text")))
                  .filter((F.col("q") >= 0.5) & (F.col("lg") == "en")))
+    # consumed twice (dedup reps + semi-join keep): materialize once so
+    # the regex-heavy quality/langid projections don't run per consumer
+    filtered = filtered.localCheckpoint(eager=True)
     reps = exact_dedup(filtered, "text", "doc_id") \
         .select(F.col("rep_id").alias("doc_id"))
     kept = filtered.join(reps, "doc_id", "left_semi")
@@ -1178,10 +1190,12 @@ def q_codec_roundtrip_docs(spark, sf):
             out, _ = decode_block(buf)
             yield from out.to_batches()
 
-    # fan out to the session's parallelism (was a fixed 4): the codec
-    # kernel is pure per-partition CPU, so task count == usable cores
+    # fan out the codec kernel (was a fixed 4 tasks): half the session
+    # parallelism measured best first-run at sf1.0 (0.95-0.99 s vs
+    # 1.03-1.11 s at full width and 0.97-1.23 s at 4 — per-task Python
+    # worker setup amortizes while the CPU stays saturated)
     d = _t(spark, sf, "documents").repartition(
-        spark.sparkContext.defaultParallelism)
+        max(8, spark.sparkContext.defaultParallelism // 2))
     return d.mapInArrow(rt, schema=d.schema)
 
 
@@ -2287,10 +2301,15 @@ def q_curate_corpus_v2(spark, sf):
     met = repetition_metrics(base, passthrough=("source", "text", "q"))
     keep = (met.filter(~F.col("repetitive"))
             .select("doc_id", "source", "text", "q"))
+    # consumed twice (decontaminate + the semi-join below): materialize
+    # once so the regex-gate + repetition-metrics subtree doesn't re-run
+    # per consumer (it was re-executing up to 3x in this funnel)
+    keep = keep.localCheckpoint(eager=True)
     bench = d.filter(F.col("doc_id") % 97 == 0)
     clean_ids = (decontaminate(keep, bench, n=4)
                  .filter(~F.col("contaminated")).select("doc_id"))
-    keep2 = keep.join(clean_ids, "doc_id", "left_semi")
+    keep2 = keep.join(clean_ids, "doc_id", "left_semi") \
+                .localCheckpoint(eager=True)  # consumed by reps + kept
     reps = exact_dedup(keep2, "text", "doc_id") \
         .select(F.col("rep_id").alias("doc_id"))
     kept = keep2.join(reps, "doc_id", "left_semi")

@@ -198,8 +198,14 @@ def merge_consecutive_turns(conv: DataFrame,
     partition order. Output: (conv_id, turn_idx, role, text, n_merged)
     with turn_idx = the run's first index."""
     w = Window.partitionBy(conv_col).orderBy(idx_col)
-    chg = F.when(F.lag(role_col).over(w).isNull()
-                 | (F.lag(role_col).over(w) != F.col(role_col)),
+    # null-SAFE role comparison (IS DISTINCT FROM semantics, matching
+    # the DuckDB oracle): with a plain !=, a NULL-role row got chg=0
+    # and silently merged into the preceding different-role run. The
+    # first row's lag is NULL, which eqNullSafe treats as equal only to
+    # a NULL role — so flag row 1 explicitly via a row_number-free
+    # check on lag-of-idx instead of lag-of-role.
+    chg = F.when(F.lag(idx_col).over(w).isNull()
+                 | ~F.lag(role_col).over(w).eqNullSafe(F.col(role_col)),
                  F.lit(1)).otherwise(F.lit(0))
     flagged = conv.select(F.col(conv_col), F.col(idx_col),
                           F.col(role_col), F.col(text_col),

@@ -94,6 +94,10 @@ def token_rarity_scores(df, text_col: str = "text",
     tokens only) and everything else is map-side."""
     toks = df.select(F.col(id_col),
                      F.explode(tokens(F.col(text_col))).alias("tok"))
+    # consumed twice (frequency aggregate + score join): materialize the
+    # exploded token stream once instead of re-running the scan+explode
+    # per consumer (same localCheckpoint rationale as minhash_lsh_pairs)
+    toks = toks.localCheckpoint(eager=True)
     freqs = toks.groupBy("tok").agg(F.count("*").alias("n_tok"))
     total = freqs.agg(F.sum("n_tok").alias("n_total"))
     scored = (toks.join(freqs, "tok")
@@ -151,8 +155,9 @@ def char_entropy(df, text_col: str = "text",
     agg is what makes the pattern safe at corpus scale. Entropy is
     folded per doc with the total carried by a doc-keyed window on the
     already-tiny counts table. Output: (id, n_chars, entropy), entropy
-    in bits rounded to 4. Empty/whitespace-only docs are absent (no
-    characters to score)."""
+    in bits rounded to 4. Only truly empty/NULL docs are absent;
+    whitespace counts as characters (a whitespace-only doc scores
+    entropy 0.0)."""
     from pyspark.sql import Window
     chars = (df.select(F.col(id_col),
                        F.explode(F.split(F.col(text_col), "")).alias("ch"))

@@ -289,7 +289,8 @@ def jaccard_prefix_pairs(df: DataFrame, text_col: str, id_col: str,
 
 def editdist_verify_pairs(df: DataFrame, pairs: DataFrame,
                           text_col: str, id_col: str,
-                          max_dist_per_5_chars: int = 1) -> DataFrame:
+                          max_dist_per_5_chars: int = 1,
+                          broadcast_texts: bool = True) -> DataFrame:
     """Exact edit-distance confirm stage after LSH banding — the
     classic candidate-verify step: join each candidate pair back to its
     two texts and compute the true Levenshtein distance, confirming
@@ -298,10 +299,31 @@ def editdist_verify_pairs(df: DataFrame, pairs: DataFrame,
     engine agrees). MinHash banding over-generates on short docs — this
     bounds the false-positive rate with exact evidence, and the cost is
     O(|candidates| * len^2), safe because banding already cut the pair
-    space. Two broadcast-sized joins against the (id, text) projection;
-    no shuffle beyond the pair table's own key exchange.
+    space.
+
+    Shuffle plan: the text table is first cut to CANDIDATE ids only (a
+    semi join against the pair ids — banding bounds that set), then the
+    bounded (id, text) projection attaches to both pair sides as a
+    broadcast: full-corpus text bytes never enter an exchange; only the
+    candidate subset moves, once, inside the broadcast. For a candidate
+    set too large to broadcast, pass broadcast_texts=False to fall back
+    to key-partitioned shuffle joins of the same (already candidate-
+    filtered) projection.
     Output: (id_a, id_b, edit_dist, confirmed)."""
-    t = df.select(F.col(id_col), F.col(text_col))
+    # consumed three times below (both id projections + the final join):
+    # materialize the bounded candidate pair table once so the upstream
+    # banding pipeline doesn't re-run per consumer
+    pairs = pairs.localCheckpoint(eager=True)
+    ids = (pairs.select(F.col("id_a").alias(id_col))
+           .unionAll(pairs.select(F.col("id_b").alias(id_col)))
+           .distinct())
+    t = (df.select(F.col(id_col), F.col(text_col))
+         .join(ids, id_col, "left_semi"))
+    # consumed twice (side a, side b): materialize the bounded candidate
+    # projection once instead of re-running the scan + semi join
+    t = t.localCheckpoint(eager=True)
+    if broadcast_texts:
+        t = F.broadcast(t)
     a = t.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta"))
     b = t.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb"))
     joined = pairs.join(a, "id_a").join(b, "id_b")

@@ -47,7 +47,9 @@ def tfidf_topk(docs: DataFrame, k: int = 5, id_col: str = "doc_id",
     partitions by document — no global sort.
     """
     from pyspark.sql import Window
-    tf = term_counts(docs, id_col, text_col)
+    # consumed twice (df aggregate + score join): one materialized
+    # term-count pass instead of two explode+aggregate scans
+    tf = term_counts(docs, id_col, text_col).localCheckpoint(eager=True)
     dfx = tf.groupBy("token").agg(F.count("*").alias("df_docs"))
     n = docs.agg(F.count("*").alias("_n"))
     score = (F.col("tf")
@@ -65,10 +67,27 @@ def tfidf_topk(docs: DataFrame, k: int = 5, id_col: str = "doc_id",
                       F.col("rn").cast("int").alias("rn")))
 
 
+def bm25_corpus_stats(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Materialize the BM25 corpus-statistics table ONCE: one row per
+    document (doc_id, _dl, _avgdl, _n) with the corpus aggregates
+    denormalized onto every row (two tiny columns — the join stays
+    doc-keyed and broadcast-friendly). A real retrieval deployment
+    builds this at index time and serves every query from it, so the
+    per-query plan scans the token stream exactly once (for the query
+    terms) instead of re-deriving document lengths per query."""
+    tf = term_counts(docs, id_col, text_col)
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("_dl"))
+    stats = dl.agg(F.avg("_dl").alias("_avgdl"),
+                   F.count("*").alias("_n"))
+    return dl.crossJoin(F.broadcast(stats))
+
+
 def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 20,
               k1: float = 1.2, b: float = 0.75,
               id_col: str = "doc_id",
-              text_col: str = "text") -> DataFrame:
+              text_col: str = "text",
+              corpus_stats: DataFrame | None = None) -> DataFrame:
     """BM25 ranked retrieval for a bag-of-terms query. Score per doc =
     sum over query terms of
         idf_t * (tf * (k1+1)) / (tf + k1 * (1 - b + b * dl/avgdl)),
@@ -78,15 +97,31 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 20,
 
     Scale: the term filter cuts the tf table to |query| terms BEFORE
     any join (predicate on the term-keyed aggregate — an inverted-index
-    probe in relational clothing); doc length and avgdl are one extra
-    aggregation each; the final top-k is a bounded global sort of the
-    matching docs only (TakeOrdered, not a full sort).
+    probe in relational clothing); doc length and avgdl come from the
+    corpus_stats table (pass the result of bm25_corpus_stats to serve
+    many queries from one materialized stats build — the deployment
+    path); self-contained calls materialize the (doc, term, tf) table
+    once with an eager localCheckpoint so the executed plan still scans
+    the token stream exactly once. The final top-k is a bounded global
+    sort of the matching docs only (TakeOrdered, not a full sort).
     """
-    tf = term_counts(docs, id_col, text_col)
-    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("_dl"))
-    stats = dl.agg(F.avg("_dl").alias("_avgdl"),
-                   F.count("*").alias("_n"))
-    qt = tf.filter(F.col("token").isin(list(query_terms)))
+    if corpus_stats is None:
+        # consumed twice (doc lengths + query-term probe): materialize
+        # the term-count table once instead of exploding the token
+        # stream per consumer
+        tf = term_counts(docs, id_col, text_col).localCheckpoint(eager=True)
+        dl = tf.groupBy(id_col).agg(F.sum("tf").alias("_dl"))
+        stats = dl.agg(F.avg("_dl").alias("_avgdl"),
+                       F.count("*").alias("_n"))
+        dlstats = dl.crossJoin(F.broadcast(stats))
+        qt = tf.filter(F.col("token").isin(list(query_terms)))
+    else:
+        dlstats = corpus_stats
+        # the tiny query-term slice is consumed twice (df count + score
+        # join): materialize it so the token stream scans exactly once
+        qt = (term_counts(docs, id_col, text_col)
+              .filter(F.col("token").isin(list(query_terms)))
+              .localCheckpoint(eager=True))
     dfx = qt.groupBy("token").agg(F.count("*").alias("_df"))
     idf = F.log(F.lit(1.0)
                 + (F.col("_n") - F.col("_df") + F.lit(0.5))
@@ -96,8 +131,7 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 20,
                             + (F.lit(b) * F.col("_dl")) / F.col("_avgdl")))
     term_score = (idf * (F.col("tf") * F.lit(k1 + 1.0))) / denom
     scored = (qt.join(dfx, "token")
-                .join(dl, id_col)
-                .crossJoin(F.broadcast(stats))
+                .join(dlstats, id_col)
                 .groupBy(id_col)
                 .agg(F.sum(term_score).alias("_score")))
     return (scored.orderBy(F.col("_score").desc(), id_col)

@@ -118,6 +118,7 @@ def test_longest_tool_runs_single_window_exchange(spark):
     # both row_numbers ride one conv_id sort: exactly one hashpartition
     # exchange on conv_id before the aggregates
     assert plan.count("Window") >= 1 and "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning(conv_id") == 1, plan
 
 
 # --- wave 5k: edit-distance verify ---------------------------------------------

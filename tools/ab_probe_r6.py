@@ -64,12 +64,89 @@ def main():
                         entry._cents(F.col("o_totalprice"))
                         .alias("totalprice_cents")))
 
+    p = entry._t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    d = entry._t(spark, sf_dir, "documents")
+
+    def lim_current():
+        from supersonic_spark.operators import lookup_index
+        li2 = li.select(F.col("l_partkey").alias("p_partkey"), "l_quantity")
+        probed = lookup_index(p, li2, ["p_partkey"], "p_partkey")
+        return (probed.groupBy("p_partkey", "p_brand")
+                .agg(F.count("*").alias("n_matches"),
+                     F.sum(F.col("l_quantity").cast("long")).alias("sum_qty")))
+
+    def lim_preagg():
+        agg = (li.groupBy(F.col("l_partkey").alias("p_partkey"))
+               .agg(F.count("*").alias("n_matches"),
+                    F.sum(F.col("l_quantity").cast("long")).alias("sum_qty")))
+        return (agg.join(p, "p_partkey")
+                .select("p_partkey", "p_brand", "n_matches", "sum_qty"))
+
+    def ngj_current():
+        from supersonic_spark.text.dedup import ngram_jaccard_pairs
+        return ngram_jaccard_pairs(d, "text", "doc_id", group_col="source",
+                                   n=1, threshold=0.5, df_cap=64)
+
+    def ngj_spread():
+        from supersonic_spark.text.dedup import ngram_jaccard_pairs
+        return ngram_jaccard_pairs(entry._spread(d), "text", "doc_id",
+                                   group_col="source", n=1, threshold=0.5,
+                                   df_cap=64)
+
+    def _ngj_body(grams, threshold=0.5, df_cap=64):
+        # replica of ngram_jaccard_pairs' tail over a prepared grams DF
+        id_col = "doc_id"
+        join_keys = ["g", "source"]
+        sizes = grams.groupBy(id_col).agg(F.count("*").alias("sz"))
+        hot = (grams.groupBy(*join_keys)
+               .agg(F.count("*").alias("_df"))
+               .filter(F.col("_df") > df_cap).select(*join_keys))
+        capped = grams.join(F.broadcast(hot), join_keys, "left_anti")
+        a = capped.select(*join_keys, F.col(id_col).alias("id_a"))
+        bb = capped.select(*join_keys, F.col(id_col).alias("id_b"))
+        inter = (a.join(bb, join_keys)
+                 .filter(F.col("id_a") < F.col("id_b"))
+                 .groupBy("id_a", "id_b").agg(F.count("*").alias("inter")))
+        sa = sizes.select(F.col(id_col).alias("id_a"),
+                          F.col("sz").alias("sz_a"))
+        sb = sizes.select(F.col(id_col).alias("id_b"),
+                          F.col("sz").alias("sz_b"))
+        return (inter.join(sa, "id_a").join(sb, "id_b")
+                .withColumn("jaccard", F.round(
+                    F.col("inter") / (F.col("sz_a") + F.col("sz_b")
+                                      - F.col("inter")), 4))
+                .filter(F.col("jaccard") >= threshold)
+                .select("id_a", "id_b", "jaccard"))
+
+    def ngj_partby():
+        from supersonic_spark.text.dedup import word_ngrams
+        grams = d.select("doc_id", "source",
+                         F.explode(word_ngrams(F.col("text"), 1)).alias("g"))
+        grams = grams.repartition(64, "g", "source") \
+                     .localCheckpoint(eager=True)
+        return _ngj_body(grams)
+
+    def ngj_spread_partby():
+        from supersonic_spark.text.dedup import word_ngrams
+        grams = entry._spread(d).select(
+            "doc_id", "source",
+            F.explode(word_ngrams(F.col("text"), 1)).alias("g"))
+        grams = grams.repartition(64, "g", "source") \
+                     .localCheckpoint(eager=True)
+        return _ngj_body(grams)
+
     variants = {
         "mdr_expand": mdr_expand,
         "mdr_split": mdr_split,
         "hji_bhj": hji_bhj,
         "hji_shj": hji_shj,
         "hji_smj": hji_smj,
+        "lim_current": lim_current,
+        "lim_preagg": lim_preagg,
+        "ngj_current": ngj_current,
+        "ngj_spread": ngj_spread,
+        "ngj_partby": ngj_partby,
+        "ngj_spread_partby": ngj_spread_partby,
     }
     only = sys.argv[1].split(",") if len(sys.argv) > 1 else list(variants)
     rounds = int(os.environ.get("AB_ROUNDS", "4"))
