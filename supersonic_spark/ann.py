@@ -31,17 +31,31 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+# NOTE (r6, measured): do NOT "optimize" dot()/norm() into unrolled
+# element_at chains — Spark 4's higher-order zip_with/aggregate beat a
+# 64-term try_element_at/element_at/getItem expression 3-5x on 64-dim
+# vectors (0.175 s vs 0.61-0.83 s over 64k rows, interleaved medians).
+# The win that DOES hold is folding each vector's norm once per ROW
+# instead of once per PAIR (see pairwise_cosine_pairs / knn_join_ivf).
+
+
 def cosine_topk(df: DataFrame, query: list[float], k: int,
                 id_col: str = "vec_id",
                 vec_col: str = "embedding") -> DataFrame:
     """Exact cosine top-k against a constant query vector. The literal
     array is broadcast inside the plan; Catalyst plans the limit as
     TakeOrderedAndProject (no full sort)."""
+    import math
     q = F.array(*[F.lit(float(v)) for v in query])
+    # query norm folded ONCE driver-side instead of 2*dim HOF steps per
+    # row; Python's sequential sum matches Spark's aggregate fold
+    # bit-for-bit (same IEEE adds in the same order), so cos_sim is
+    # unchanged to the last ulp
+    qn = math.sqrt(sum(float(v) * float(v) for v in query))
+    v = F.col(vec_col).cast("array<double>")
     scored = df.select(
         F.col(id_col),
-        F.round(cosine(F.col(vec_col).cast("array<double>"), q), 4)
-        .alias("cos_sim"))
+        F.round(dot(v, q) / (norm(v) * F.lit(qn)), 4).alias("cos_sim"))
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
 
 
@@ -62,16 +76,27 @@ def pairwise_cosine_pairs(df: DataFrame, threshold: float,
             "pairwise_cosine_pairs without block_col plans an all-pairs "
             "cross join; block by lsh_bucket()/ivf_assign() output (or any "
             "natural key), or pass allow_cross_join=True for tiny inputs")
+    # norms fold ONCE per vector in the projections (not per pair): a
+    # pair evaluated m times per cell re-ran 2 full HOF norm folds each
+    # time — precomputing cuts the per-pair HOF work 3x. norm() on the
+    # same cast column is the same fold in the same order, and the
+    # denominator keeps the norm(a)*norm(b) operand order, so cos_sim
+    # is bit-identical to the inline form.
+    nrm = norm(F.col(vec_col).cast("array<double>"))
     a = df.select(F.col(id_col).alias("id_a"),
                   F.col(vec_col).cast("array<double>").alias("va"),
+                  nrm.alias("_na"),
                   *([F.col(block_col)] if block_col else []))
     b = df.select(F.col(id_col).alias("id_b"),
                   F.col(vec_col).cast("array<double>").alias("vb"),
+                  nrm.alias("_nb"),
                   *([F.col(block_col)] if block_col else []))
     on = [block_col] if block_col else None
     j = a.join(b, on=on) if on else a.crossJoin(b)
     return (j.filter(F.col("id_a") < F.col("id_b"))
-             .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 4))
+             .withColumn("cos_sim", F.round(
+                 dot(F.col("va"), F.col("vb"))
+                 / (F.col("_na") * F.col("_nb")), 4))
              .filter(F.col("cos_sim") >= threshold)
              .select("id_a", "id_b", "cos_sim"))
 
@@ -581,13 +606,20 @@ def knn_join_ivf(df: DataFrame, centroids: list[list[float]], k: int,
     # consumed by both join sides — materialize once (see
     # minhash_lsh_pairs for the localCheckpoint-vs-persist rationale)
     assigned = assigned.localCheckpoint(eager=True)
+    # norms fold once per vector, not per pair (see
+    # pairwise_cosine_pairs) — the in-cell quadratic re-ran both norm
+    # folds per candidate pair; identical floats by fold-order identity
+    nrm = norm(F.col(vec_col).cast("array<double>"))
     a = assigned.select(F.col(id_col).alias("_qid"),
-                        F.col(vec_col).alias("_qv"), "ivf_cell")
+                        F.col(vec_col).alias("_qv"),
+                        nrm.alias("_qn"), "ivf_cell")
     b = assigned.select(F.col(id_col).alias("nbr_id"),
-                        F.col(vec_col).alias("_nv"), "ivf_cell")
+                        F.col(vec_col).alias("_nv"),
+                        nrm.alias("_nn"), "ivf_cell")
     pairs = a.join(b, "ivf_cell").filter(F.col("_qid") != F.col("nbr_id"))
-    sim = F.round(cosine(F.col("_qv").cast("array<double>"),
-                         F.col("_nv").cast("array<double>")), 4)
+    sim = F.round(dot(F.col("_qv").cast("array<double>"),
+                      F.col("_nv").cast("array<double>"))
+                  / (F.col("_qn") * F.col("_nn")), 4)
     from pyspark.sql import Window
     w = (Window.partitionBy("_qid")
          .orderBy(F.col("cos_sim").desc(), F.col("nbr_id").asc()))
