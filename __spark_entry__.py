@@ -3353,6 +3353,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_window_agg": q_tumbling_window_agg,
         "pivot_agg": q_pivot_agg,
         # ---------------- end of 50-entry driver prefix ----------------
+        # r6 ledger update: round 6 was the optimization round — the
+        # driver re-ran EVERY declared query against the oracle (no
+        # 50-sample), so no rotation happened or was needed; the
+        # deferred list below is carried verbatim for a future build
+        # round's prefix (r7+).
         # (never-proven entries deferred to r6 for lack of slots:
         #  pq_topk_refined, multimodal_resize, tpch_q11_important_stock,
         #  codec_snapshot, and the late wave-5e/5f/5g sets registered at

@@ -396,7 +396,15 @@ def lsh_topk_arrow(df: DataFrame, query: list[float], k: int,
     survive — the query's own bucket, plus its Hamming-<=d ball with
     hamming=d (multi-probe). At scale the bucket assignment is
     precomputed and the table written bucketed by it, so probes read the
-    probed buckets' files."""
+    probed buckets' files.
+
+    Recall guidance (measured, BENCH/ann_recall.json): on CLUSTERED
+    embeddings random-hyperplane LSH reads 0.60 recall@20 at Hamming<=2
+    / ~16% scanned, while IVF reads 0.98 at the same scanned fraction —
+    for clustered data (the realistic case) prefer `ivf_topk_indexed`,
+    the sanctioned high-recall indexed path; LSH remains the right tool
+    for data with no cluster structure and for cheap dedup-style
+    candidate generation."""
     import numpy as np
     dim = len(query)
     w = plane_matrix(n_planes, dim)
